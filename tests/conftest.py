@@ -1,0 +1,45 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices so that
+multi-chip sharding paths are exercised without TPU hardware (the JAX-native
+replacement for fake backends)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+# A small binary-ish phylogeny over 8 "cub"-style species, with uneven depths
+# and one unnamed internal chain, exercising the same naming/collapsing rules
+# as the reference CUB trees.
+TINY_NEWICK = (
+    "((((cub_001_Sooty_Albatross:1.0,cub_002_Laysan_Albatross:1.0):1.0,"
+    "cub_003_Crested_Auklet:2.0):2.0,"
+    "((cub_004_Red_winged_Blackbird:1.5,cub_005_Rusty_Blackbird:1.5):1.0,"
+    "cub_006_Bobolink:2.5):1.5):1.0,"
+    "(cub_007_Indigo_Bunting:2.0,cub_008_Painted_Bunting:2.0):3.0);"
+)
+
+
+@pytest.fixture(scope="session")
+def tiny_newick():
+    return TINY_NEWICK
+
+
+@pytest.fixture(scope="session")
+def tiny_root():
+    from pipnet_tpu.tree import Phylogeny, construct_phylo_tree
+
+    phylo = Phylogeny(newick=TINY_NEWICK)
+    root = construct_phylo_tree(phylo=phylo)
+    root.assign_all_descendents()
+    return root
