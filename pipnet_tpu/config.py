@@ -1,0 +1,261 @@
+"""Static model/training configuration.
+
+The reference threads one argparse namespace through every layer and consults
+it *inside* ``forward`` (``pipnet/pipnet.py:102,119,130``), including
+string-encoded mini-DSLs like ``--softmax 'y|1'``.  Here configuration is
+resolved **once** into frozen dataclasses so the jitted graph is fixed, with a
+compat parser (`from_reference_flags`) that understands the reference's flag
+encodings for drop-in script parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class HeadConfig:
+    """Prototype-head semantics (ref pipnet/pipnet.py:111-171)."""
+    add_on_type: str = "conv"            # conv | unit | project | l2
+    add_on_bias: bool = False
+    softmax_tau: Optional[float] = 1.0   # None disables the per-node softmax; '--softmax y|1'
+    gumbel_softmax: bool = False
+    gumbel_tau: float = 0.5              # --gs_tau
+    softmax_over_channel: bool = False
+    multiply_cs_softmax: bool = False
+    focal: bool = False                  # pooled = maxpool - avgpool
+    classifier: str = "nonneg"           # nonneg | linear
+    classifier_bias: bool = False        # --bias
+    protopool: bool = True               # 'y': prototypes shared across children
+    sg_before_protos: bool = False
+    inference_threshold: float = 0.1     # pooled < 0.1 -> 0 at inference
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    backbone: str = "convnext_tiny_26"
+    image_size: int = 224
+    num_features: int = 0                # flat-tree prototype count override
+    num_protos_per_descendant: int = 0
+    num_protos_per_child: int = 10
+    head: HeadConfig = field(default_factory=HeadConfig)
+    pretrained_backbone_path: Optional[str] = None
+    compute_dtype: str = "float32"       # float32 | bfloat16
+    use_pallas_head: bool = False
+    stage4_reducer: Tuple[Tuple[int, int, bool], ...] = ()   # (in, out, gelu) stack
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Which losses are active and their static weights.
+
+    The hard-coded phase weight schedules live in the train step
+    (ref pipnet/train.py:148-177); this records the flag-driven knobs.
+    """
+    align: bool = True
+    uni: bool = True
+    align_pf: bool = False
+    tanh: bool = False
+    tanh_during_second_phase: bool = False
+    tanh_desc: bool = True
+    tanh_desc_weight: float = 0.05       # '--tanh_desc y|0.05'
+    kernel_orth: bool = False
+    minimize_contrasting_set: bool = False
+    min_contrast_topk: int = 1
+    min_contrast_weight: float = 0.1     # '--minimize_contrasting_set y|K|w'
+    mask_prune_overspecific: bool = False
+    mask_prune_start_epoch: int = 0
+    mask_prune_boost: Optional[float] = None
+    sg_before_masking: bool = True
+    geometric_mean_overspecificity: bool = False
+    ood_loss: bool = False               # requires an OOD loader
+    ood_ent: bool = False
+    weighted_ce: bool = False
+    focal_loss: bool = False
+    focal_loss_gamma: float = 2.0
+    cl_weight: float = 2.0
+    pipnet_sparsity: bool = True         # log1p(logits^m) before softmax
+    byol: bool = False
+    byol_tau_base: float = 0.9995
+    byol_tau_max: float = 1.0
+    minmaximize: bool = False
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    lr: float = 0.05                     # classifier / presence
+    lr_block: float = 0.0005             # trainable backbone tail; add-ons get 10x
+    lr_net: float = 0.0005               # deep backbone
+    weight_decay: float = 0.0
+    optimizer: str = "adamw"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 64
+    batch_size_pretrain: int = 128
+    epochs: int = 60
+    epochs_pretrain: int = 10
+    epochs_finetune: int = 5
+    epochs_finetune_classifier: int = 3
+    epochs_finetune_mask_prune: int = 999999999
+    freeze_epochs: int = 10
+    seed: int = 1
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    # reference quirk: check_and_update_weights matches parameter names ending
+    # in '_classification', which never matches ('..._classification.weight'),
+    # so the reactivation is a no-op in the reference (pipnet/train.py:67-71).
+    # "off" reproduces that; "on" applies the intended +0.01 to weights <=1e-3.
+    weight_reactivation: str = "off"
+    data_parallel: int = 1               # number of data-parallel shards (mesh size)
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    log_dir: str = "./runs/run_pipnet"
+    dataset: str = "CUB-190"
+    ood_dataset: Optional[str] = None
+    phylo_config: Optional[str] = None
+    leave_out_classes: Optional[str] = None
+    validation_size: float = 0.0
+    weighted_sampler: bool = False       # --weighted_loss
+    disable_transform2: bool = False
+    num_workers: int = 8
+
+
+def _yn(v: str) -> bool:
+    return isinstance(v, str) and v.split("|")[0] == "y"
+
+
+def from_reference_flags(args) -> RunConfig:
+    """Build a RunConfig from a reference-style argparse namespace / dict.
+
+    Understands the reference's string DSLs (``util/args.py:14-402``):
+    ``--softmax 'y|1'``, ``--tanh_desc 'y|0.05'``,
+    ``--mask_prune_overspecific 'y|start|boost'``,
+    ``--minimize_contrasting_set 'y|K|w'``, ``--byol 'y|tau|max'``.
+    """
+    get = (args.get if isinstance(args, dict) else
+           lambda k, d=None: getattr(args, k, d))
+
+    softmax = get("softmax", "n") or "n"
+    softmax_tau: Optional[float] = None
+    if softmax.split("|")[0] == "y":
+        parts = softmax.split("|")
+        # reference: int() of the tau field, default 0.2 (pipnet/pipnet.py:130-136)
+        softmax_tau = float(int(parts[1])) if len(parts) > 1 else 0.2
+
+    add_on = "conv"
+    if _yn(get("unitconv2d", "n")):
+        add_on = "unit"
+    elif _yn(get("projectconv2d", "n")):
+        add_on = "project"
+    elif _yn(get("l2conv2d", "n")):
+        add_on = "l2"
+
+    head = HeadConfig(
+        add_on_type=add_on,
+        add_on_bias=bool(get("add_on_bias", False)),
+        softmax_tau=softmax_tau,
+        gumbel_softmax=_yn(get("gumbel_softmax", "n")),
+        gumbel_tau=float(get("gs_tau", 0.5)),
+        softmax_over_channel=_yn(get("softmax_over_channel", "n")),
+        multiply_cs_softmax=_yn(get("multiply_cs_softmax", "n")),
+        focal=_yn(get("focal", "n")),
+        classifier="linear" if get("classifier", "NonNegative") == "Linear" else "nonneg",
+        classifier_bias=bool(get("bias", False)),
+        protopool=not (get("protopool", "y") == "n"),
+        sg_before_protos=_yn(get("sg_before_protos", "n")),
+    )
+
+    reducer = ()
+    s4r = get("stage4_reducer_net", "") or ""
+    if s4r:
+        layers = []
+        for info in s4r.split("|"):
+            p = info.split(",")
+            layers.append((int(p[0]), int(p[1]), len(p) > 2 and p[2] == "gelu"))
+        reducer = tuple(layers)
+
+    model = ModelConfig(
+        backbone=get("net", "convnext_tiny_26"),
+        image_size=int(get("image_size", 224)),
+        num_features=int(get("num_features", 0)),
+        num_protos_per_descendant=int(get("num_protos_per_descendant", 4)),
+        num_protos_per_child=int(get("num_protos_per_child", 0)),
+        head=head,
+        stage4_reducer=reducer,
+    )
+
+    td = get("tanh_desc", "n") or "n"
+    mc = get("minimize_contrasting_set", "n") or "n"
+    mp = get("mask_prune_overspecific", "n") or "n"
+    byol = get("byol", "n") or "n"
+    loss = LossConfig(
+        align=_yn(get("align", "y")),
+        uni=_yn(get("uni", "y")),
+        align_pf=_yn(get("align_pf", "n")),
+        tanh=_yn(get("tanh", "n")),
+        tanh_during_second_phase=_yn(get("tanh_during_second_phase", "n")),
+        tanh_desc="y" in td,
+        tanh_desc_weight=float(td.split("|")[1]) if ("y" in td and "|" in td) else 0.05,
+        kernel_orth=_yn(get("kernel_orth", "n")),
+        minimize_contrasting_set="y" in mc,
+        min_contrast_topk=int(mc.split("|")[1]) if mc.count("|") >= 1 else 1,
+        min_contrast_weight=float(mc.split("|")[2]) if mc.count("|") >= 2 else 0.1,
+        mask_prune_overspecific="y" in mp,
+        mask_prune_start_epoch=int(mp.split("|")[1]) if mp.count("|") >= 1 else 0,
+        mask_prune_boost=float(mp.split("|")[2]) if mp.count("|") >= 2 else None,
+        sg_before_masking=_yn(get("sg_before_masking", "y")),
+        geometric_mean_overspecificity=_yn(get("geometric_mean_overspecificity_score", "n")),
+        ood_loss=get("OOD_dataset", None) is not None,
+        ood_ent=_yn(get("OOD_ent", "n")),
+        weighted_ce=_yn(get("weighted_ce_loss", "n")),
+        focal_loss=_yn(get("focal_loss", "n")),
+        focal_loss_gamma=float(get("focal_loss_gamma", 2.0)),
+        cl_weight=float(get("cl_weight", 2.0)),
+        pipnet_sparsity=not (get("pipnet_sparsity", "y") == "n"),
+        byol=byol.split("|")[0] == "y",
+        byol_tau_base=float(byol.split("|")[1]) if byol.count("|") >= 1 else 0.9995,
+        byol_tau_max=float(byol.split("|")[2]) if byol.count("|") >= 2 else 1.0,
+        minmaximize=_yn(get("minmaximize", "n")),
+    )
+
+    optim = OptimConfig(
+        lr=float(get("lr", 0.05)),
+        lr_block=float(get("lr_block", 0.0005)),
+        lr_net=float(get("lr_net", 0.0005)),
+        weight_decay=float(get("weight_decay", 0.0)),
+    )
+
+    train = TrainConfig(
+        batch_size=int(get("batch_size", 64)),
+        batch_size_pretrain=int(get("batch_size_pretrain", 128)),
+        epochs=int(get("epochs", 60)),
+        epochs_pretrain=int(get("epochs_pretrain", 10)),
+        epochs_finetune=int(get("epochs_finetune", 5)),
+        epochs_finetune_classifier=int(get("epochs_finetune_classifier", 3)),
+        epochs_finetune_mask_prune=int(get("epochs_finetune_mask_prune", 999999999)),
+        freeze_epochs=int(get("freeze_epochs", 10)),
+        seed=int(get("seed", 1)),
+        optim=optim,
+        loss=loss,
+    )
+
+    return RunConfig(
+        model=model, train=train,
+        log_dir=get("log_dir", "./runs/run_pipnet"),
+        dataset=get("dataset", "CUB-190"),
+        ood_dataset=get("OOD_dataset", None),
+        phylo_config=get("phylo_config", None),
+        leave_out_classes=(get("leave_out_classes", "") or "").strip() or None,
+        validation_size=float(get("validation_size", 0.0)),
+        weighted_sampler=bool(get("weighted_loss", False)),
+        disable_transform2=_yn(get("disable_transform2", "n")),
+        num_workers=int(get("num_workers", 8)),
+    )

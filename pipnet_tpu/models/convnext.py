@@ -1,0 +1,143 @@
+"""ConvNeXt-Tiny backbone in flax, with the PIP-Net stride surgery.
+
+TPU-native re-design of the reference backbone
+(``features/convnext_features.py:7-42``): torchvision's ConvNeXt-Tiny with the
+classification head removed and every stride-2 downsampling conv whose input
+channel count exceeds a threshold re-strided to 1:
+
+* threshold 100 -> 26x26 latent at 224^2 (``convnext_tiny_26``)
+* threshold 300 -> 13x13 (``convnext_tiny_13``)
+* no surgery   -> 7x7  (``convnext_tiny_7``)
+
+Layout is NHWC throughout (TPU-friendly); convolutions lower to XLA
+``conv_general_dilated`` and hit the MXU.  Parameter tree mirrors torchvision's
+``features.<i>`` indexing so checkpoints can be imported 1:1
+(see ``models/torch_import.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+CONVNEXT_TINY_DEPTHS = (3, 3, 9, 3)
+CONVNEXT_TINY_DIMS = (96, 192, 384, 768)
+
+
+class LayerNorm2d(nn.Module):
+    """Channel-last LayerNorm with eps=1e-6 (torchvision LayerNorm2d parity)."""
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+
+
+class CNBlock(nn.Module):
+    """ConvNeXt block: dw7x7 -> LN -> MLP(4x, GELU) -> layer-scale -> +residual.
+
+    ``sd_prob`` is the stochastic-depth drop probability ("row" mode: whole
+    residual branch dropped per sample during training).
+    """
+    dim: int
+    sd_prob: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        residual = x
+        h = nn.Conv(self.dim, kernel_size=(7, 7), padding=3,
+                    feature_group_count=self.dim, dtype=self.dtype, name="dwconv")(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(h)
+        h = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_in")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_out")(h)
+        scale = self.param("layer_scale", nn.initializers.constant(1e-6), (self.dim,))
+        h = h * scale.astype(h.dtype)
+        if train and self.sd_prob > 0.0:
+            rng = self.make_rng("droppath")
+            keep = 1.0 - self.sd_prob
+            mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, 1))
+            h = jnp.where(mask, h / keep, 0.0)
+        return residual + h
+
+
+class ConvNeXtTiny(nn.Module):
+    """ConvNeXt-Tiny feature extractor (no pooling/classifier).
+
+    ``stride_threshold``: downsampling convs with ``in_channels > threshold``
+    use stride 1 (keeping their 2x2 kernel VALID padding, so each such stage
+    shrinks the map by 1 pixel — this is what produces 26x26 from 224^2).
+    """
+    stride_threshold: Optional[int] = 100
+    stochastic_depth_prob: float = 0.1
+    depths: Sequence[int] = CONVNEXT_TINY_DEPTHS
+    dims: Sequence[int] = CONVNEXT_TINY_DIMS
+    dtype: Dtype = jnp.float32
+
+    @property
+    def out_channels(self) -> int:
+        return self.dims[-1]
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        # stem: conv k4 s4 + LN  (torchvision features.0)
+        x = nn.Conv(self.dims[0], kernel_size=(4, 4), strides=(4, 4), padding="VALID",
+                    dtype=self.dtype, name="stem_conv")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="stem_norm")(x)
+
+        total_blocks = sum(self.depths)
+        block_id = 0
+        for stage, (depth, dim) in enumerate(zip(self.depths, self.dims)):
+            if stage > 0:
+                in_ch = self.dims[stage - 1]
+                stride = 2
+                if self.stride_threshold is not None and in_ch > self.stride_threshold:
+                    stride = 1
+                x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"down{stage}_norm")(x)
+                x = nn.Conv(dim, kernel_size=(2, 2), strides=(stride, stride), padding="VALID",
+                            dtype=self.dtype, name=f"down{stage}_conv")(x)
+            for blk in range(depth):
+                sd = self.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
+                x = CNBlock(dim, sd_prob=sd, dtype=self.dtype,
+                            name=f"stage{stage}_block{blk}")(x, train=train)
+                block_id += 1
+        return x
+
+
+def convnext_tiny_26(dtype=jnp.float32, **kw) -> ConvNeXtTiny:
+    return ConvNeXtTiny(stride_threshold=100, dtype=dtype, **kw)
+
+
+def convnext_tiny_13(dtype=jnp.float32, **kw) -> ConvNeXtTiny:
+    return ConvNeXtTiny(stride_threshold=300, dtype=dtype, **kw)
+
+
+def convnext_tiny_7(dtype=jnp.float32, **kw) -> ConvNeXtTiny:
+    return ConvNeXtTiny(stride_threshold=None, dtype=dtype, **kw)
+
+
+def convnext_param_groups(params: dict) -> dict:
+    """Partition parameter paths into the reference optimizer groups
+    (``util/args.py:500-515``): last block of stage 4 -> 'train';
+    rest of stages 3/4 (torchvision features.6/7) -> 'freeze';
+    stages 2/3 (features.4/5) -> 'backbone'; everything earlier -> 'frozen'.
+
+    Returns a dict mapping top-level module name -> group label.
+    """
+    groups = {}
+    for name in params:
+        if name == "stage3_block2":                       # torchvision features.7.2
+            groups[name] = "train"
+        elif name.startswith("stage3") or name == "down3_conv" or name == "down3_norm":
+            groups[name] = "freeze"                       # features.7 / features.6
+        elif name.startswith("stage2") or name == "down2_conv" or name == "down2_norm":
+            groups[name] = "backbone"                     # features.5 / features.4
+        else:
+            groups[name] = "frozen"                       # stem, stages 1-2 (features.0-3)
+    return groups

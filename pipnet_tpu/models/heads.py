@@ -1,0 +1,197 @@
+"""The stacked prototype head.
+
+Replaces the reference's Python loop over tree nodes — per-node 1x1 conv,
+per-patch softmax over the prototype dim, global max-pool, non-negative linear
+(``pipnet/pipnet.py:124-170``) — with ONE set of stacked ops over the compiled
+prototype axis:
+
+  features (B,H,W,D) --matmul--> (B,H,W,P) --bucketed segment softmax-->
+  --max-pool--> pooled (B,P) --block-masked non-neg linear--> logits (B,C)
+
+The 1x1 conv is a single MXU matmul; the classifier is a block-diagonal masked
+matmul; per-node softmax uses the bucket reshape from ``ops/segment.py``.
+
+Gradient-flow quirks preserved from the reference:
+* ``UnitConv2D`` / ``ProjectConv2D`` / ``L2Conv2D`` normalize or read kernels
+  via ``.data`` so NO gradient reaches the add-on kernels through those paths
+  (``pipnet/pipnet.py:1069,1097-1103,1113``) — reproduced with
+  ``stop_gradient``.
+* ``protopool='n'`` partitions prototypes among children by initializing
+  off-block classifier weights to -0.5 (relu-dead, zero grad forever,
+  ``pipnet/pipnet.py:1235-1248``); here the partition is a static mask, which
+  has identical forward values and gradients.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HeadConfig
+from ..ops.segment import segment_hard_gumbel, segment_softmax, spatial_softmax
+from ..tree.compile import TreeArrays
+
+
+def _presence_init(tree: TreeArrays):
+    """Per-node xavier-normal init of the (P, 2) presence logits: torch
+    ``xavier_normal_`` on a (P_n, 2) tensor uses std = sqrt(2/(P_n+2))
+    (ref pipnet/pipnet.py:93-98)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        assert shape == (tree.num_protos_padded, 2)
+        vals = jax.random.normal(key, shape, dtype)
+        stds = np.ones(tree.num_protos_padded, np.float32)
+        for ni in range(tree.num_nodes):
+            sl = tree.node_proto_slice(ni)
+            pn = int(tree.node_num_protos[ni])
+            stds[sl] = np.sqrt(2.0 / (pn + 2))
+        return vals * jnp.asarray(stds)[:, None]
+
+    return init
+
+
+def _classifier_init(tree: TreeArrays, protopool: bool):
+    """N(1, 0.1) inside blocks (ref pipnet/pipnet.py:1026); -0.5 off-block for
+    the protopool='n' partition (values are masked out but kept for checkpoint
+    parity with the reference layout)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        w = 1.0 + 0.1 * jax.random.normal(key, shape, dtype)
+        mask = tree.class_mask if protopool else tree.child_block_mask
+        return jnp.where(jnp.asarray(mask) > 0, w, -0.5)
+
+    return init
+
+
+class PrototypeHead(nn.Module):
+    """Stacked multi-node prototype head over compiled ``TreeArrays``."""
+
+    tree: TreeArrays
+    cfg: HeadConfig
+    in_channels: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        tree, cfg = self.tree, self.cfg
+        P, C = tree.num_protos_padded, tree.num_children_total
+        self.add_on_kernel = self.param(
+            "add_on_kernel",
+            nn.initializers.xavier_uniform(),  # ref init_weights_xavier, gain('sigmoid')=1
+            (self.in_channels, P))
+        if cfg.add_on_bias:
+            self.add_on_bias = self.param("add_on_bias", nn.initializers.zeros, (P,))
+        self.cls_weight = self.param("cls_weight", _classifier_init(tree, cfg.protopool), (C, P))
+        if cfg.classifier_bias:
+            self.cls_bias = self.param("cls_bias", nn.initializers.zeros, (C,))
+        self.proto_presence = self.param("proto_presence", _presence_init(tree), (P, 2))
+        # normalization multiplier: frozen at 2.0 in every live reference path
+        # (main.py:347,368,387); stored as a param for checkpoint parity.
+        self.multiplier = self.param("multiplier", nn.initializers.constant(2.0), (1,))
+
+    # -- pieces -------------------------------------------------------------
+    def proto_maps(self, features: jnp.ndarray) -> jnp.ndarray:
+        """Raw add-on response (B,H,W,P) before softmax."""
+        cfg = self.cfg
+        k = self.add_on_kernel.astype(features.dtype)
+        bias = self.add_on_bias.astype(features.dtype) if cfg.add_on_bias else None
+        if cfg.add_on_type == "conv":
+            z = features @ k
+            if bias is not None:
+                z = z + bias
+        elif cfg.add_on_type == "unit":
+            kn = jax.lax.stop_gradient(k / (jnp.linalg.norm(k, axis=0, keepdims=True) + 1e-12))
+            fn_ = features / (jnp.linalg.norm(features, axis=-1, keepdims=True) + 1e-12)
+            z = fn_ @ kn
+            if bias is not None:
+                bn = jax.lax.stop_gradient(bias / (jnp.linalg.norm(bias) + 1e-12))
+                z = z + bn
+        elif cfg.add_on_type == "project":
+            kn = jax.lax.stop_gradient(k / (jnp.linalg.norm(k, axis=0, keepdims=True) + 1e-12))
+            z = features @ kn
+            if bias is not None:
+                bn = jax.lax.stop_gradient(bias / (jnp.linalg.norm(bias) + 1e-12))
+                z = z + bn
+        elif cfg.add_on_type == "l2":
+            # ProtoPNet-style log similarity of squared L2 distance
+            # (ref pipnet/pipnet.py:1093-1106; all kernel reads are .data)
+            kd = jax.lax.stop_gradient(k)
+            x2 = jnp.sum(features ** 2, axis=-1, keepdims=True)          # (B,H,W,1)
+            p2 = jnp.sum(kd ** 2, axis=0)                                # (P,)
+            xp = features @ kd
+            d = jax.nn.relu(x2 - 2 * xp + p2)
+            z = jnp.log((d + 1.0) / (d + 1e-4))
+        else:
+            raise ValueError(f"unknown add_on_type {cfg.add_on_type}")
+        return z
+
+    def cosine_maps(self, features: jnp.ndarray) -> jnp.ndarray:
+        """functional_UnitConv2D (ref pipnet/pipnet.py:34-41): cosine sim with
+        stop-grad normalized kernels, grad-carrying normalized input."""
+        k = self.add_on_kernel.astype(features.dtype)
+        kn = jax.lax.stop_gradient(k / (jnp.linalg.norm(k, axis=0, keepdims=True) + 1e-12))
+        fn_ = features / (jnp.linalg.norm(features, axis=-1, keepdims=True) + 1e-12)
+        z = fn_ @ kn
+        if self.cfg.add_on_bias:
+            b = self.add_on_bias.astype(features.dtype)
+            z = z + jax.lax.stop_gradient(b / (jnp.linalg.norm(b) + 1e-12))
+        return z
+
+    def effective_cls_weight(self) -> jnp.ndarray:
+        """relu(W) under the static block mask — the weights the classifier
+        actually applies (and what relevance thresholds read)."""
+        mask = jnp.asarray(self.tree.class_mask if self.cfg.protopool
+                           else self.tree.child_block_mask)
+        w = self.cls_weight
+        if self.cfg.classifier == "nonneg":
+            w = jax.nn.relu(w)
+        return w * mask
+
+    # -- full head ----------------------------------------------------------
+    def __call__(self, features: jnp.ndarray, *, inference: bool = False,
+                 apply_overspecificity_mask: bool = False,
+                 gumbel_rng: Optional[jax.Array] = None,
+                 mask_rng: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+        cfg, tree = self.cfg, self.tree
+        if cfg.sg_before_protos:
+            features = jax.lax.stop_gradient(features)
+
+        z = self.proto_maps(features)
+        if cfg.add_on_type == "unit":
+            z = jnp.abs(z)                                   # ref pipnet/pipnet.py:127-128
+
+        if cfg.softmax_tau is not None:
+            if cfg.softmax_over_channel:
+                pf = spatial_softmax(z)
+            else:
+                pf = segment_softmax(z, tree, tau=cfg.softmax_tau)
+        elif cfg.gumbel_softmax:
+            pf = segment_softmax(z, tree, gumbel_rng=gumbel_rng, gumbel_tau=cfg.gumbel_tau)
+        else:
+            pf = z
+
+        if cfg.multiply_cs_softmax:
+            pf = self.cosine_maps(features) * pf             # ref pipnet/pipnet.py:154-157
+
+        pooled = jnp.max(pf, axis=(1, 2))                    # AdaptiveMaxPool2d
+        if cfg.focal:
+            pooled = pooled - jnp.mean(pf, axis=(1, 2))      # ref pipnet/pipnet.py:161-162
+
+        if apply_overspecificity_mask:
+            if mask_rng is None:
+                raise ValueError("apply_overspecificity_mask requires mask_rng")
+            mask = segment_hard_gumbel(self.proto_presence, mask_rng, tau=0.5)[:, 1]
+            pooled = pooled * mask[None, :]
+
+        if inference:
+            pooled = jnp.where(pooled < cfg.inference_threshold, 0.0, pooled)
+
+        w = self.effective_cls_weight().astype(pooled.dtype)
+        logits = pooled @ w.T
+        if cfg.classifier_bias:
+            logits = logits + self.cls_bias.astype(pooled.dtype)
+
+        return {"proto_features": pf, "pooled": pooled, "logits": logits}

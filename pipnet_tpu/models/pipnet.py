@@ -1,0 +1,189 @@
+"""PIPNet: backbone + stacked prototype head, as one flax module.
+
+TPU-native counterpart of the reference ``PIPNet`` (``pipnet/pipnet.py:54-185``)
+and ``get_network`` (``pipnet/pipnet.py:1134-1258``).  The per-node dynamic
+attributes (``_<node>_add_on`` etc.) become stacked arrays over a compiled
+``TreeArrays`` (see ``tree/compile.py``); a forward pass is a single fixed
+graph ready for ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..tree.compile import TreeArrays
+from ..tree.node import Node
+from .convnext import convnext_tiny_7, convnext_tiny_13, convnext_tiny_26
+from .heads import PrototypeHead
+from .resnet import (resnet18_features, resnet34_features, resnet50_features,
+                     resnet50_features_inat, resnet101_features, resnet152_features)
+
+BACKBONES = {
+    "convnext_tiny_26": (convnext_tiny_26, 768),
+    "convnext_tiny_13": (convnext_tiny_13, 768),
+    "convnext_tiny_7": (convnext_tiny_7, 768),
+    "resnet18": (resnet18_features, 512),
+    "resnet34": (resnet34_features, 512),
+    "resnet50": (resnet50_features, 2048),
+    "resnet50_inat": (resnet50_features_inat, 2048),
+    "resnet101": (resnet101_features, 2048),
+    "resnet152": (resnet152_features, 2048),
+}
+
+
+class Stage4Reducer(nn.Module):
+    """Optional 1x1-conv channel reducer stack after the backbone
+    (ref pipnet/pipnet.py:1167-1183, ``--stage4_reducer_net 'in,out,gelu|...'``)."""
+    layers: Tuple[Tuple[int, int, bool], ...]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, (cin, cout, gelu) in enumerate(self.layers):
+            if x.shape[-1] != cin:
+                raise ValueError(f"reducer layer {i} expects {cin} channels, got {x.shape[-1]}")
+            x = nn.Dense(cout, dtype=self.dtype, name=f"reducer{i}")(x)
+            if gelu:
+                x = jax.nn.gelu(x, approximate=False)
+        return x
+
+
+class PIPNet(nn.Module):
+    """Hierarchical prototype network over a compiled tree."""
+
+    tree: TreeArrays
+    cfg: ModelConfig
+
+    def setup(self):
+        dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        if self.cfg.backbone not in BACKBONES:
+            raise ValueError(f"unknown backbone {self.cfg.backbone}; options: {list(BACKBONES)}")
+        ctor, channels = BACKBONES[self.cfg.backbone]
+        self.backbone = ctor(dtype=dtype)
+        if self.cfg.stage4_reducer:
+            self.reducer = Stage4Reducer(self.cfg.stage4_reducer, dtype=dtype)
+            channels = self.cfg.stage4_reducer[-1][1]
+        self.head = PrototypeHead(tree=self.tree, cfg=self.cfg.head,
+                                  in_channels=channels, dtype=dtype)
+
+    def features(self, xs: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        f = self.backbone(xs, train=train)
+        if self.cfg.stage4_reducer:
+            f = self.reducer(f)
+        return f
+
+    def __call__(self, xs: jnp.ndarray, *, train: bool = False, inference: bool = False,
+                 apply_overspecificity_mask: bool = False,
+                 gumbel_rng: Optional[jax.Array] = None,
+                 mask_rng: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+        """Returns {'features', 'proto_features', 'pooled', 'logits'} with the
+        stacked layouts (B,H,W,D), (B,H,W,P), (B,P), (B,C)."""
+        f = self.features(xs, train=train)
+        out = self.head(f, inference=inference,
+                        apply_overspecificity_mask=apply_overspecificity_mask,
+                        gumbel_rng=gumbel_rng, mask_rng=mask_rng)
+        out["features"] = f
+        return out
+
+
+# ----------------------------------------------------------------------------
+# joint distribution over leaves
+# ----------------------------------------------------------------------------
+
+def joint_leaf_log_distribution(logits: jnp.ndarray, tree: TreeArrays,
+                                softmax_tau: float = 1.0) -> jnp.ndarray:
+    """Log joint distribution over the fine classes.
+
+    Vectorized form of the reference's recursive
+    ``distribution_over_furthest_descendents`` (``util/node.py:300-395``):
+    at every node, child probabilities are ``softmax(log1p(out^2)/tau)``; a
+    leaf's joint probability is the product along its root-to-leaf path.  With
+    the (leaf, node) lookup tables this is one gather + masked sum:
+
+        logp[leaf] = sum over nodes n with leaf under n of
+                     log_softmax_n(log1p(out_n^2)/tau)[child_col(leaf, n)]
+
+    The output is ordered by sorted class name — identical to the reference's
+    post-hoc ``argsort(names)`` (``pipnet/pipnet.py:179-181``) because our
+    class indices are already name-sorted.
+    """
+    B, C = logits.shape
+    N = tree.num_nodes
+    z = jnp.log1p(logits ** 2) / softmax_tau
+    # per-node log-softmax over each node's child columns: dense (B, N, Cmax)
+    cmax = tree.max_children
+    cols = np.full((N, cmax), -1, np.int64)
+    for ni in range(N):
+        cn = int(tree.node_num_children[ni])
+        cols[ni, :cn] = np.arange(tree.node_child_offset[ni], tree.node_child_offset[ni] + cn)
+    valid = jnp.asarray(cols >= 0)
+    zc = z[:, jnp.asarray(np.clip(cols, 0, C - 1))]                   # (B, N, Cmax)
+    zc = jnp.where(valid[None], zc, -jnp.inf)
+    logp_children = jax.nn.log_softmax(zc, axis=-1)                   # (B, N, Cmax)
+
+    slot = jnp.asarray(np.where(tree.leaf_child_slot >= 0, tree.leaf_child_slot, 0))  # (L, N)
+    under = jnp.asarray(tree.leaf_under_node)                          # (L, N)
+    # gather logp_children at (b, n, slot[l, n]) -> (B, L, N)
+    g = jnp.take_along_axis(logp_children[:, None, :, :].repeat(slot.shape[0], axis=1),
+                            slot[None, :, :, None], axis=-1)[..., 0]
+    g = jnp.where(under[None], g, 0.0)
+    return g.sum(axis=-1)                                              # (B, L)
+
+
+def joint_leaf_distribution(logits: jnp.ndarray, tree: TreeArrays,
+                            softmax_tau: float = 1.0) -> jnp.ndarray:
+    return jnp.exp(joint_leaf_log_distribution(logits, tree, softmax_tau))
+
+
+# ----------------------------------------------------------------------------
+# construction helpers
+# ----------------------------------------------------------------------------
+
+def assign_prototype_budgets(root: Node, cfg: ModelConfig) -> None:
+    """Apply the per-node budget rule from the driver (main.py:148-155)."""
+    if cfg.num_features == 0 and cfg.num_protos_per_descendant == 0 and cfg.num_protos_per_child == 0:
+        raise ValueError("one of num_features / num_protos_per_descendant / num_protos_per_child must be > 0")
+    for node in root.nodes_with_children():
+        node.set_num_protos(num_protos_per_descendant=cfg.num_protos_per_descendant,
+                            num_protos_per_child=cfg.num_protos_per_child,
+                            min_protos=cfg.num_features,
+                            split_protos=not cfg.head.protopool)
+
+
+def build_pipnet(root: Node, cfg: ModelConfig, *, weighted: bool = False,
+                 class_names=None) -> Tuple[PIPNet, TreeArrays]:
+    """Budget the tree, compile it, and construct the model."""
+    from ..tree.compile import compile_tree
+
+    assign_prototype_budgets(root, cfg)
+    tree = compile_tree(root, class_names=class_names,
+                        protopool=cfg.head.protopool, weighted=weighted)
+    return PIPNet(tree=tree, cfg=cfg), tree
+
+
+def latent_shape(cfg: ModelConfig) -> Tuple[int, int]:
+    """Static latent (H, W) for an image_size, replacing the reference's
+    runtime shape probe (main.py:400-407)."""
+    s = cfg.image_size
+    if cfg.backbone.startswith("convnext"):
+        s4 = s // 4
+        if cfg.backbone.endswith("_26"):
+            h = (s4 - 2) // 2 + 1   # down1 stride 2
+            h = h - 1               # down2 stride 1, k2 VALID
+            h = h - 1               # down3 stride 1
+        elif cfg.backbone.endswith("_13"):
+            h = (s4 - 2) // 2 + 1
+            h = (h - 2) // 2 + 1
+            h = h - 1
+        else:
+            h = s // 32
+        return (h, h)
+    if cfg.backbone.startswith("resnet"):
+        return (s // 8, s // 8)     # stride-1 layer3/4
+    raise ValueError(cfg.backbone)
