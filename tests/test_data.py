@@ -1,0 +1,130 @@
+"""Data pipeline tests: augmentation spaces, loader semantics, synthetic fixture."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pipnet_tpu.data import (Loader, TwoViewDataset, TwoViewTransform,
+                             build_loaders, generate_synthetic_dataset,
+                             reference_drop_last, scan_image_folder,
+                             trivial_augment_no_color,
+                             trivial_augment_no_shape)
+from pipnet_tpu.data.augment import to_normalized_array
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthdata")
+    train, test, phy = generate_synthetic_dataset(str(root), num_classes=4,
+                                                  images_per_class=5, image_size=48)
+    return train, test, phy
+
+
+def test_augment_spaces_match_reference_tables():
+    """The retuned op tables (ref util/data.py:904-952)."""
+    geo = trivial_augment_no_color().space
+    assert set(geo) == {"Identity", "ShearX", "ShearY", "TranslateX", "TranslateY", "Rotate"}
+    assert geo["Rotate"][1].max() == pytest.approx(60.0)
+    assert geo["TranslateX"][1].max() == pytest.approx(16.0)
+    photo = trivial_augment_no_shape().space
+    assert "Solarize" not in photo            # removed in the fork's table
+    assert photo["Color"][2] is False         # unsigned over [-0.2, 1]
+    assert photo["Color"][1].min() == pytest.approx(-0.2)
+    assert photo["Posterize"][1].min() == 4   # range 8..4 (not 8..2)
+
+
+def test_augment_ops_run():
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    ta = trivial_augment_no_shape()
+    for _ in range(50):
+        out = ta(img, rng)
+        assert out.size == (64, 64)
+    ta = trivial_augment_no_color()
+    for _ in range(50):
+        out = ta(img, rng)
+        assert out.size == (64, 64)
+
+
+def test_normalization():
+    img = Image.new("RGB", (8, 8), (124, 116, 104))  # ~ImageNet mean * 255
+    x = to_normalized_array(img)
+    assert x.shape == (8, 8, 3)
+    assert np.abs(x).max() < 0.05
+
+
+def test_two_view_shared_geometry(synth):
+    """The two views share geometry but differ photometrically."""
+    train, test, phy = synth
+    folder = scan_image_folder(train)
+    tv = TwoViewTransform(image_size=48)
+    ds = TwoViewDataset(folder, tv)
+    rng = np.random.default_rng(0)
+    v1, v2, t = ds.get(0, rng)
+    assert v1.shape == (48, 48, 3) and v2.shape == (48, 48, 3)
+    assert not np.array_equal(v1, v2)
+
+
+def test_reference_drop_last_rule():
+    # remainder 10 of batch 64 -> 15.6% < 20% -> drop
+    assert reference_drop_last(1000 * 64 + 10, 64) is True
+    # remainder 30 of 64 -> 46% -> keep
+    assert reference_drop_last(64 + 30, 64) is False
+
+
+def test_loader_epoch_determinism(synth):
+    train, test, phy = synth
+    folder = scan_image_folder(train)
+    ds = TwoViewDataset(folder, TwoViewTransform(image_size=48))
+    loader = Loader(ds, batch_size=4, seed=7, prefetch=0)
+    b1 = list(loader.epoch(0))
+    b2 = list(loader.epoch(0))
+    assert all(np.array_equal(a.ys, b.ys) for a, b in zip(b1, b2))
+    b3 = list(loader.epoch(1))
+    assert any(not np.array_equal(a.ys, b.ys) for a, b in zip(b1, b3))
+
+
+def test_loader_weighted_and_leaveout(synth):
+    train, test, phy = synth
+    folder = scan_image_folder(train)
+    ds = TwoViewDataset(folder, TwoViewTransform(image_size=48))
+    # leave out class 0
+    loader = Loader(ds, batch_size=4, seed=1, keep_labels=[1, 2, 3], prefetch=0)
+    ys = np.concatenate([b.ys for b in loader.epoch(0)])
+    assert 0 not in ys
+    wloader = Loader(ds, batch_size=4, seed=1, weighted=True, prefetch=0)
+    ys = np.concatenate([b.ys for b in wloader.epoch(0)])
+    assert len(ys) > 0
+
+
+def test_host_sharding(synth):
+    train, test, phy = synth
+    folder = scan_image_folder(train)
+    ds = TwoViewDataset(folder, TwoViewTransform(image_size=48))
+    shards = []
+    for host in range(2):
+        loader = Loader(ds, batch_size=2, seed=3, num_hosts=2, host_id=host, prefetch=0)
+        shards.append(np.concatenate([b.ys for b in loader.epoch(0)]))
+    # together the shards cover the dataset (up to wrap padding)
+    assert len(shards[0]) + len(shards[1]) >= len(ds)
+
+
+def test_build_loaders_bundle(synth):
+    train, test, phy = synth
+    loaders = build_loaders(train, test, image_size=48, batch_size=4,
+                            batch_size_pretrain=6, seed=1)
+    assert len(loaders.classes) == 4
+    assert loaders.project.batch_size == 1
+    batch = next(loaders.train.epoch(0))
+    assert batch.xs1.shape == (4, 48, 48, 3) and batch.xs2.shape == (4, 48, 48, 3)
+    ev = next(loaders.test.epoch(0))
+    assert ev.xs2 is None
+
+
+def test_prefetch_thread(synth):
+    train, test, phy = synth
+    folder = scan_image_folder(train)
+    ds = TwoViewDataset(folder, TwoViewTransform(image_size=48))
+    loader = Loader(ds, batch_size=4, seed=7, prefetch=2)
+    batches = list(loader.epoch(0))
+    assert len(batches) == len(loader)
