@@ -1,0 +1,219 @@
+"""CLI driver: reference-flag-compatible training entry point.
+
+``python -m pipnet_tpu.main --dataset synthetic --phylo_config auto ...``
+
+Accepts the reference's flag names and string DSLs (``util/args.py:14-402``)
+so existing ``run_pipnet*.sh`` invocations translate directly; resolves them
+once into the static ``RunConfig`` (see ``config.py``) before anything jits.
+Unlike the reference there is no separate ``main_dist.py``: data parallelism
+over every visible chip is the default (``--data_parallel 0``), with XLA
+collectives replacing torchrun/DDP/NCCL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("Train PIP-Net / HComP-Net on TPU")
+    add = p.add_argument
+    add("--dataset", type=str, default="synthetic")
+    add("--OOD_dataset", type=str, default=None)
+    add("--validation_size", type=float, default=0.0)
+    add("--net", type=str, default="convnext_tiny_26")
+    add("--batch_size", type=int, default=64)
+    add("--batch_size_pretrain", type=int, default=128)
+    add("--epochs", type=int, default=60)
+    add("--epochs_pretrain", type=int, default=10)
+    add("--epochs_finetune", type=int, default=5)
+    add("--epochs_finetune_classifier", type=int, default=3)
+    add("--epochs_finetune_mask_prune", type=int, default=999999999)
+    add("--freeze_epochs", type=int, default=10)
+    add("--optimizer", type=str, default="Adam")
+    add("--lr", type=float, default=0.05)
+    add("--lr_block", type=float, default=0.0005)
+    add("--lr_net", type=float, default=0.0005)
+    add("--weight_decay", type=float, default=0.0)
+    add("--log_dir", type=str, default="./runs/run_pipnet")
+    add("--num_features", type=int, default=0)
+    add("--image_size", type=int, default=224)
+    add("--state_dict_dir_net", type=str, default="")
+    add("--state_dict_dir_backbone", type=str, default="")
+    add("--state_dict_dir_fullmodel", type=str, default="")
+    add("--dir_for_saving_images", type=str, default="visualization_results")
+    add("--disable_pretrained", action="store_true")
+    add("--weighted_loss", action="store_true")
+    add("--seed", type=int, default=1)
+    add("--num_workers", type=int, default=8)
+    add("--bias", action="store_true")
+    add("--add_on_bias", action="store_true")
+    add("--phylo_config", type=str, default=None)
+    add("--experiment_note", type=str, default="")
+    add("--kernel_orth", type=str, default="n")
+    add("--num_protos_per_descendant", type=int, default=4)
+    add("--num_protos_per_child", type=int, default=0)
+    add("--tanh_desc", type=str, default="y")
+    add("--align", type=str, default="y")
+    add("--uni", type=str, default="y")
+    add("--align_pf", type=str, default="n")
+    add("--tanh", type=str, default="n")
+    add("--tanh_during_second_phase", type=str, default="n")
+    add("--minmaximize", type=str, default="n")
+    add("--minimize_contrasting_set", type=str, default="n")
+    add("--OOD_ent", type=str, default="n")
+    add("--softmax", type=str, default="n")
+    add("--gumbel_softmax", type=str, default="n")
+    add("--gs_tau", type=float, default=0.5)
+    add("--multiply_cs_softmax", type=str, default="n")
+    add("--unitconv2d", type=str, default="n")
+    add("--projectconv2d", type=str, default="n")
+    add("--l2conv2d", type=str, default="n")
+    add("--focal", type=str, default="n")
+    add("--training_wheels", type=str, default="n")
+    add("--weighted_ce_loss", type=str, default="n")
+    add("--protopool", type=str, default="y")
+    add("--focal_loss", type=str, default="n")
+    add("--focal_loss_gamma", type=float, default=2.0)
+    add("--stage4_reducer_net", type=str, default="")
+    add("--sg_before_protos", type=str, default="n")
+    add("--leave_out_classes", type=str, default="")
+    add("--byol", type=str, default="n")
+    add("--disable_transform2", type=str, default="n")
+    add("--softmax_over_channel", type=str, default="n")
+    add("--classifier", type=str, default="NonNegative")
+    add("--pipnet_sparsity", type=str, default="y")
+    add("--mask_prune_overspecific", type=str, default="n")
+    add("--sg_before_masking", type=str, default="y")
+    add("--geometric_mean_overspecificity_score", type=str, default="n")
+    add("--cl_weight", type=float, default=2.0)
+    add("--wandb", type=str, default="n")
+    add("--copy_files", type=str, default="n")
+    # TPU-native extensions
+    add("--data_parallel", type=int, default=0,
+        help="data-parallel shards: 0 = all visible devices")
+    add("--compute_dtype", type=str, default="float32",
+        choices=["float32", "bfloat16"])
+    add("--eval_every", type=int, default=5)
+    add("--final_viz", type=str, default="y")
+    return p
+
+
+def run_pipnet(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    t_start = time.time()
+
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from .config import from_reference_flags
+    from .data import build_loaders
+    from .datasets import resolve_dataset
+    from .models import build_pipnet
+    from .runtime.log import RunLog, Tee
+    from .train.trainer import Trainer
+    from .tree import build_tree_from_config, flat_tree
+
+    cfg = from_reference_flags(args)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype),
+        train=dataclasses.replace(cfg.train, data_parallel=args.data_parallel))
+
+    log = RunLog(cfg.log_dir)
+    sys.stdout = Tee(os.path.join(cfg.log_dir, "out.txt"), sys.stdout)
+    print(f"pipnet_tpu: devices={jax.devices()}")
+
+    # data
+    train_dir, test_dir, project_dir, dkw = resolve_dataset(cfg.dataset, seed=cfg.train.seed)
+    leave_out = None
+    if cfg.leave_out_classes:
+        with open(cfg.leave_out_classes) as f:
+            leave_out = [line.strip() for line in f if line.strip()]
+    loaders = build_loaders(
+        train_dir, test_dir, project_dir=project_dir,
+        image_size=cfg.model.image_size,
+        batch_size=cfg.train.batch_size,
+        batch_size_pretrain=cfg.train.batch_size_pretrain,
+        seed=cfg.train.seed, weighted=cfg.weighted_sampler,
+        leave_out_classes=leave_out,
+        disable_transform2=cfg.disable_transform2,
+        cars=dkw.get("cars", False), grayscale=dkw.get("grayscale", False),
+        num_hosts=jax.process_count(), host_id=jax.process_index())
+    ood_loaders = None
+    if cfg.ood_dataset:
+        otrain, otest, oproj, okw = resolve_dataset(cfg.ood_dataset, seed=cfg.train.seed)
+        ood_loaders = build_loaders(
+            otrain, otest, project_dir=oproj, image_size=cfg.model.image_size,
+            batch_size=cfg.train.batch_size,
+            batch_size_pretrain=cfg.train.batch_size_pretrain,
+            seed=cfg.train.seed)
+
+    # tree: explicit phylogeny yaml, auto (synthetic bundles one), or flat
+    phylo_path, distances = None, None
+    if args.phylo_config in ("auto", None) and "phylo_path" in dkw:
+        phylo_path = dkw["phylo_path"]
+    elif args.phylo_config:
+        import yaml
+        with open(args.phylo_config) as f:
+            pc = yaml.safe_load(f)
+        phylo_path = pc["phylogeny_path"]
+        distances = pc.get("phyloDistances_string")
+        if distances in ("None", None):
+            distances = None
+    if phylo_path:
+        root = build_tree_from_config(phylo_path, distances)
+    else:
+        root = flat_tree(loaders.classes, cfg.model.num_features or 512)
+    print(f"tree: {len(root.nodes_with_children())} internal nodes, "
+          f"{len(root.leaves())} leaves")
+
+    # model
+    model, tree = build_pipnet(root, cfg.model,
+                               weighted=cfg.train.loss.weighted_ce,
+                               class_names=loaders.classes)
+    print(tree.summary())
+
+    trainer = Trainer(model, tree, cfg, loaders, log=log, ood_loaders=ood_loaders)
+    trainer.init_state()
+
+    # partial restore (the --state_dict_dir_* contract, main.py:289-388)
+    if args.state_dict_dir_net:
+        raise ValueError("use --state_dict_dir_backbone (the reference forbids "
+                         "state_dict_dir_net too, main.py:291)")
+    if args.state_dict_dir_backbone:
+        from .train.checkpoint import load_backbone_only
+        trainer.state = load_backbone_only(args.state_dict_dir_backbone, trainer.state)
+    elif args.state_dict_dir_fullmodel:
+        from .train.checkpoint import restore_checkpoint
+        trainer.state, extra = restore_checkpoint(args.state_dict_dir_fullmodel,
+                                                  trainer.state)
+        print(f"restored full model: {extra}")
+
+    if args.training_wheels == "y":
+        print("training wheels: smoke run, 1 pretrain + 1 train epoch")
+        result = trainer.fit(epochs=1, epochs_pretrain=1, eval_every=1)
+    else:
+        result = trainer.fit(eval_every=args.eval_every)
+
+    if args.final_viz == "y" and len(loaders.classes) <= 60:
+        from .interp import run_projection, save_topk_gallery, topk_per_prototype
+        proj = run_projection(model, tree, trainer.state.params,
+                              trainer.state.batch_stats, loaders.project,
+                              image_size=cfg.model.image_size)
+        gallery_dir = os.path.join(cfg.log_dir, args.dir_for_saving_images)
+        save_topk_gallery(proj, topk_per_prototype(proj, k=10), gallery_dir)
+        print(f"prototype galleries written to {gallery_dir}")
+
+    mins = (time.time() - t_start) / 60.0
+    print(f"done in {mins:.1f} min; eval: {result.get('eval')}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run_pipnet())

@@ -1,0 +1,67 @@
+"""Run-directory CSV logging (counterpart of util/log.py:6-79).
+
+Layout under the run dir: ``metadata/`` (saved config), ``checkpoints/``,
+named ``<log>.csv`` files with fixed columns, ``node_wise_metrics_{train,test}/``
+per-node loss CSVs (ref pipnet/train.py:503-518)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+from typing import Dict, Sequence
+
+
+class RunLog:
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self.metadata_dir = os.path.join(log_dir, "metadata")
+        self.checkpoint_dir = os.path.join(log_dir, "checkpoints")
+        for d in (log_dir, self.metadata_dir, self.checkpoint_dir):
+            os.makedirs(d, exist_ok=True)
+        self._columns: Dict[str, Sequence[str]] = {}
+
+    def save_config(self, cfg) -> None:
+        """Persist the run config as JSON (replacing args.txt/args.pickle,
+        util/args.py:405-425) — readable AND reloadable."""
+        path = os.path.join(self.metadata_dir, "config.json")
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+
+    def create_log(self, name: str, *columns: str) -> None:
+        if name in self._columns:
+            return
+        self._columns[name] = columns
+        path = os.path.join(self.log_dir, f"{name}.csv")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(",".join(columns) + "\n")
+
+    def log_values(self, name: str, *values) -> None:
+        if name not in self._columns:
+            raise KeyError(f"log {name} was never created")
+        if len(values) != len(self._columns[name]):
+            raise ValueError(f"log {name}: expected {len(self._columns[name])} values")
+        with open(os.path.join(self.log_dir, f"{name}.csv"), "a") as f:
+            f.write(",".join(str(v) for v in values) + "\n")
+
+    def message(self, msg: str) -> None:
+        with open(os.path.join(self.log_dir, "log.txt"), "a") as f:
+            f.write(msg + "\n")
+
+
+class Tee:
+    """Duplicate a stream to a file (ref main.py:869-879)."""
+
+    def __init__(self, path: str, stream=None):
+        self.file = open(path, "a")
+        self.stream = stream or sys.stdout
+
+    def write(self, data):
+        self.file.write(data)
+        self.stream.write(data)
+
+    def flush(self):
+        self.file.flush()
+        self.stream.flush()

@@ -1,0 +1,214 @@
+"""The jitted train/eval steps.
+
+One ``jax.jit``-compiled function per phase replaces the reference's hot loop
+(``pipnet/train.py:202-369``): forward on the concatenated two-view batch,
+the full loss catalog, gradients, and BOTH masked-AdamW updates fused into a
+single XLA program.  Data parallelism is pjit-style: the batch arrives sharded
+over the mesh's ``data`` axis while parameters are replicated — XLA inserts
+the gradient ``psum`` over ICI automatically, replacing DDP/NCCL all-reduce
+and the reference's per-step full-parameter broadcast
+(``pipnet/train.py:54-65``), which becomes unnecessary because every replica
+computes the identical update deterministically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RunConfig
+from ..losses import LossWeights, compute_total_loss, make_tree_consts
+from ..models.pipnet import PIPNet, joint_leaf_log_distribution
+from ..tree.compile import TreeArrays
+from .optimizer import (AdamState, Phase, adam_init, adam_update,
+                        cosine_annealing, cosine_warm_restarts, label_params,
+                        masks_and_lrs)
+
+PyTree = Any
+
+
+class TrainState(NamedTuple):
+    params: PyTree
+    batch_stats: PyTree            # {} for BN-free backbones
+    opt: AdamState
+    rng: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class StepStatics:
+    """Static (compile-time) configuration of one phase's step function."""
+    phase: Phase
+    mask_prune_active: bool = False
+    has_ood: bool = False
+    eta_min_net: float = 0.0
+    t0_cls: float = 5.0
+    weight_reactivation: bool = False
+
+
+class Scalars(NamedTuple):
+    """Traced per-step scalars (no recompiles across steps/epochs)."""
+    net_t: jnp.ndarray           # net scheduler step count (float)
+    net_T: jnp.ndarray           # net scheduler horizon
+    epoch_frac: jnp.ndarray      # classifier fractional epoch (warm restarts)
+    align_pf_weight: jnp.ndarray # pretrain ramp epoch/nr_epochs or 5.0
+    tanh_weight: jnp.ndarray
+    epoch: jnp.ndarray
+
+
+def init_train_state(model: PIPNet, rng: jax.Array, sample: jnp.ndarray) -> TrainState:
+    variables = model.init(rng, sample)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt=adam_init(params), rng=rng)
+
+
+def reinit_optimizer(state: TrainState) -> TrainState:
+    """Fresh Adam state at the phase-1 -> phase-2 boundary (main.py:501)."""
+    return state._replace(opt=adam_init(state.params))
+
+
+def _apply(model, params, batch_stats, xs, *, train, rng=None, **kw):
+    variables = {"params": params}
+    mutable = []
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+        mutable = ["batch_stats"] if train else []
+    rngs = {"droppath": rng} if (train and rng is not None) else None
+    if mutable:
+        out, updated = model.apply(variables, xs, train=train, rngs=rngs,
+                                   mutable=mutable, **kw)
+        return out, updated.get("batch_stats", batch_stats)
+    out = model.apply(variables, xs, train=train, rngs=rngs, **kw)
+    return out, batch_stats
+
+
+def make_train_step(model: PIPNet, tree: TreeArrays, cfg: RunConfig,
+                    statics: StepStatics):
+    """Build the jitted step for one phase."""
+    tc = make_tree_consts(tree)
+    lcfg = cfg.train.loss
+    ocfg = cfg.train.optim
+    ph = statics.phase
+
+    def step(state: TrainState, xs1, xs2, ys, scalars: Scalars):
+        xs = jnp.concatenate([xs1, xs2], axis=0)
+        ys2 = jnp.concatenate([ys, ys], axis=0)
+        rng, drop_rng, loss_rng = jax.random.split(state.rng, 3)
+
+        cls_mask = jnp.asarray(tree.class_mask if cfg.model.head.protopool
+                               else tree.child_block_mask)
+        eff_lcfg = dataclasses.replace(
+            lcfg, mask_prune_overspecific=statics.mask_prune_active,
+            mask_prune_start_epoch=0)
+
+        def effective_w(params):
+            w = params["head"]["cls_weight"]
+            if cfg.model.head.classifier == "nonneg":
+                w = jax.nn.relu(w)
+            return w * cls_mask
+
+        def loss_fn(params):
+            out, new_bs = _apply(model, params, state.batch_stats, xs,
+                                 train=True, rng=drop_rng)
+            w_eff = effective_w(params)
+            weights = LossWeights(
+                align_pf=scalars.align_pf_weight,
+                byol=0.5 if ph.pretrain else 2.0,
+                tanh=scalars.tanh_weight,
+                cl=0.0 if ph.pretrain else lcfg.cl_weight,
+                ood=0.0 if ph.pretrain else 0.2)
+            total, aux = compute_total_loss(
+                tc, out, ys2, w_eff,
+                add_on_kernel=params["head"]["add_on_kernel"],
+                proto_presence=params["head"]["proto_presence"],
+                multiplier=jax.lax.stop_gradient(params["head"]["multiplier"][0]),
+                cfg=eff_lcfg, weights=weights, tree=tree,
+                pretrain=ph.pretrain, finetune=ph.finetune, epoch=1,
+                ood_present=statics.has_ood, rng=loss_rng)
+            return total, (aux, out, new_bs)
+
+        (loss, (aux, out, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+
+        labels = label_params(state.params, cfg.model.backbone)
+
+        def net_lr(base):
+            return cosine_annealing(base, statics.eta_min_net, scalars.net_t, scalars.net_T)
+
+        def cls_lr(base):
+            return cosine_warm_restarts(base, 1e-3, scalars.epoch_frac, statics.t0_cls)
+
+        mask, lr = masks_and_lrs(labels, ph, ocfg, net_lr, cls_lr)
+        new_params, new_opt = adam_update(state.params, grads, state.opt, lr, mask,
+                                          weight_decay=ocfg.weight_decay)
+
+        if statics.weight_reactivation and not ph.pretrain:
+            # the INTENDED reactivation (+0.01 to classifier weights <= 1e-3);
+            # a no-op in the reference due to the name-matching bug
+            # (pipnet/train.py:67-71) — opt-in via TrainConfig.weight_reactivation
+            w = new_params["head"]["cls_weight"]
+            new_params = {**new_params,
+                          "head": {**new_params["head"],
+                                   "cls_weight": jnp.where(w <= 1e-3, w + 0.01, w)}}
+
+        # metrics: fine accuracy via the joint distribution (pipnet/train.py:363-369)
+        logp = joint_leaf_log_distribution(out["logits"], tree)
+        pred = jnp.argmax(logp, axis=-1)
+        valid = ys2 >= 0
+        fine_correct = jnp.sum((pred == ys2) & valid)
+        n_fine = jnp.sum(valid)
+
+        # per-node accuracy (pipnet/train.py:1186-1194)
+        node_logits = out["logits"][:, tc.node_cols.reshape(-1)].reshape(
+            out["logits"].shape[0], *tc.node_cols.shape)
+        node_logits = jnp.where(tc.node_cols_valid[None] > 0, node_logits, -jnp.inf)
+        node_pred = jnp.argmax(node_logits, axis=-1)                 # (B, N)
+        from ..losses.catalog import _yidx
+        slot = tc.leaf_slot[_yidx(ys2, tc.num_leaves)]
+        under = slot >= 0
+        node_correct = jnp.sum((node_pred == slot) & under, axis=0)
+        node_examples = jnp.sum(under, axis=0)
+
+        metrics = {"loss": loss, "fine_correct": fine_correct, "n_fine": n_fine,
+                   "node_correct": node_correct, "node_examples": node_examples}
+        for k, v in aux.items():
+            if v.ndim == 0:
+                metrics[f"loss/{k}"] = v
+            else:
+                metrics[f"per_node/{k}"] = v
+
+        new_state = TrainState(params=new_params, batch_stats=new_bs,
+                               opt=new_opt, rng=rng)
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(model: PIPNet, tree: TreeArrays, *,
+                   path_prob_softmax_tau: float = 1.0,
+                   apply_overspecificity_mask: bool = False):
+    """Jitted eval step: duplicated views to mirror the train-time batch shape
+    (ref test_pipnet duplicates the batch, pipnet/train.py:644-645), inference
+    thresholding on, joint-distribution decode."""
+    tc = make_tree_consts(tree)
+
+    @jax.jit
+    def step(params, batch_stats, xs, ys, mask_rng):
+        xs2 = jnp.concatenate([xs, xs], axis=0)
+        out, _ = _apply(model, params, batch_stats, xs2, train=False,
+                        inference=True,
+                        apply_overspecificity_mask=apply_overspecificity_mask,
+                        mask_rng=mask_rng)
+        B = xs.shape[0]
+        logits = out["logits"][:B]
+        logp = joint_leaf_log_distribution(logits, tree,
+                                           softmax_tau=path_prob_softmax_tau)
+        return {"logits": logits, "pooled": out["pooled"][:B],
+                "log_joint": logp, "pred": jnp.argmax(logp, axis=-1)}
+
+    return step

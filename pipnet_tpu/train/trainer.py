@@ -1,0 +1,273 @@
+"""The two-phase training engine.
+
+Orchestrates the reference's driver flow (``main.py:58-724``): phase 1
+self-supervised pretraining, phase 2 staged training (finetune-classifier ->
+finetune -> frozen-backbone -> full -> mask-only), periodic eval, CSV
+telemetry, checkpoints.  All per-step compute is in the jitted step functions
+(``train/step.py``); this module is host-side control only.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RunConfig
+from ..data.loader import Loader, Loaders
+from ..models.pipnet import PIPNet
+from ..runtime.log import RunLog
+from ..runtime.mesh import batch_sharding, data_mesh, replicated_sharding
+from ..tree.compile import TreeArrays
+from .checkpoint import save_checkpoint
+from .optimizer import Phase, phase_for_epoch
+from .step import (Scalars, StepStatics, TrainState, init_train_state,
+                   make_eval_step, make_train_step, reinit_optimizer)
+
+
+class Trainer:
+    def __init__(self, model: PIPNet, tree: TreeArrays, cfg: RunConfig,
+                 loaders: Loaders, log: Optional[RunLog] = None,
+                 ood_loaders: Optional[Loaders] = None):
+        self.model = model
+        self.tree = tree
+        self.cfg = cfg
+        self.loaders = loaders
+        self.ood_loaders = ood_loaders
+        self.log = log or RunLog(cfg.log_dir)
+        # data_parallel: 0 = all local devices, otherwise that many shards
+        self.mesh = data_mesh(None if cfg.train.data_parallel == 0
+                              else cfg.train.data_parallel)
+        self._step_cache: Dict[tuple, callable] = {}
+        self.eval_step = make_eval_step(model, tree)
+        self.state: Optional[TrainState] = None
+        self.history: list = []
+
+    # -- setup ---------------------------------------------------------------
+    def init_state(self, image_size: Optional[int] = None) -> TrainState:
+        size = image_size or self.cfg.model.image_size
+        sample = jnp.zeros((2, size, size, 3), jnp.float32)
+        rng = jax.random.PRNGKey(self.cfg.train.seed)
+        self.state = init_train_state(self.model, rng, sample)
+        return self.state
+
+    def _get_step(self, statics: StepStatics):
+        key = (statics.phase, statics.mask_prune_active, statics.has_ood,
+               statics.eta_min_net, statics.t0_cls, statics.weight_reactivation)
+        if key not in self._step_cache:
+            fn = make_train_step(self.model, self.tree, self.cfg, statics)
+            self._step_cache[key] = jax.jit(fn, donate_argnums=(0,))
+        return self._step_cache[key]
+
+    # -- epochs --------------------------------------------------------------
+    def run_epoch(self, epoch: int, *, pretrain: bool, net_t0: int,
+                  net_T: int, loader: Loader,
+                  ood_loader: Optional[Loader] = None) -> Dict[str, float]:
+        cfg = self.cfg.train
+        phase = phase_for_epoch(epoch, cfg, pretrain=pretrain)
+        mask_prune_active = (cfg.loss.mask_prune_overspecific and not pretrain
+                             and epoch >= cfg.loss.mask_prune_start_epoch)
+        statics = StepStatics(
+            phase=phase,
+            mask_prune_active=mask_prune_active,
+            has_ood=ood_loader is not None,
+            eta_min_net=(cfg.optim.lr_block / 100.0 if pretrain
+                         else cfg.optim.lr_net / 100.0),
+            t0_cls=5.0 if cfg.epochs <= 30 else 10.0,   # main.py:504-507
+            weight_reactivation=cfg.weight_reactivation == "on",
+        )
+        step = self._get_step(statics)
+
+        iters = len(loader)
+        nr_epochs = cfg.epochs_pretrain if pretrain else cfg.epochs
+        align_pf_w = (epoch / max(nr_epochs, 1)) if pretrain else 5.0  # train.py:149,164
+        tanh_w = 5.0 if pretrain else 2.0                              # train.py:154,169
+
+        bsh = batch_sharding(self.mesh)
+        totals: Dict[str, float] = {}
+        per_node_sums: Dict[str, np.ndarray] = {}
+        n_steps = 0
+        fine_correct = 0
+        n_fine = 0
+        node_correct = np.zeros(self.tree.num_nodes, np.int64)
+        node_examples = np.zeros(self.tree.num_nodes, np.int64)
+        t_start = time.time()
+        n_images = 0
+
+        ood_iter = iter(ood_loader.epoch(epoch)) if ood_loader is not None else None
+
+        for i, batch in enumerate(loader.epoch(epoch)):
+            xs1, xs2, ys = batch.xs1, batch.xs2, batch.ys
+            if ood_iter is not None:
+                try:
+                    ob = next(ood_iter)
+                    xs1 = np.concatenate([xs1, ob.xs1])
+                    xs2 = np.concatenate([xs2, ob.xs2])
+                    ys = np.concatenate([ys, np.full(len(ob.ys), -1, ys.dtype)])
+                except StopIteration:
+                    ood_iter = None
+            scalars = Scalars(
+                net_t=jnp.float32(net_t0 + i),
+                net_T=jnp.float32(max(net_T, 1)),
+                epoch_frac=jnp.float32((epoch - 1) + i / max(iters, 1)),  # train.py:322
+                align_pf_weight=jnp.float32(align_pf_w),
+                tanh_weight=jnp.float32(tanh_w),
+                epoch=jnp.float32(epoch))
+            xs1d, xs2d, ysd = (jax.device_put(xs1, bsh), jax.device_put(xs2, bsh),
+                               jax.device_put(ys, bsh))
+            self.state, metrics = step(self.state, xs1d, xs2d, ysd, scalars)
+            n_steps += 1
+            n_images += len(ys)
+            metrics = jax.device_get(metrics)
+            fine_correct += int(metrics.pop("fine_correct"))
+            n_fine += int(metrics.pop("n_fine"))
+            node_correct += np.asarray(metrics.pop("node_correct"), np.int64)
+            node_examples += np.asarray(metrics.pop("node_examples"), np.int64)
+            for k, v in metrics.items():
+                if k.startswith("per_node/"):
+                    per_node_sums[k] = per_node_sums.get(k, 0) + np.asarray(v)
+                else:
+                    totals[k] = totals.get(k, 0.0) + float(v)
+
+        wall = time.time() - t_start
+        info = {k: v / max(n_steps, 1) for k, v in totals.items()}
+        info["fine_accuracy"] = fine_correct / max(n_fine, 1)
+        info["images_per_sec"] = n_images / max(wall, 1e-9)
+        info["epoch_seconds"] = wall
+        info["net_t_end"] = net_t0 + n_steps
+        with np.errstate(invalid="ignore"):
+            info["node_accuracy"] = np.where(node_examples > 0,
+                                             node_correct / np.maximum(node_examples, 1), 0.0)
+        info["per_node"] = {k: v / max(n_steps, 1) for k, v in per_node_sums.items()}
+        return info
+
+    # -- full run ------------------------------------------------------------
+    def fit(self, *, epochs: Optional[int] = None,
+            epochs_pretrain: Optional[int] = None,
+            eval_every: int = 5, save_every: int = 5,
+            log_prefix: str = "") -> Dict[str, float]:
+        cfg = self.cfg.train
+        n_pre = cfg.epochs_pretrain if epochs_pretrain is None else epochs_pretrain
+        n_epochs = cfg.epochs if epochs is None else epochs
+        if self.state is None:
+            self.init_state()
+        self.log.save_config(self.cfg)
+        self.log.create_log("log_epoch_overview", "epoch", "test_top1_acc",
+                            "test_top5_acc", "mean_train_acc", "mean_train_loss")
+
+        # phase 1: pretraining (main.py:428-488)
+        net_t = 0
+        net_T = len(self.loaders.train_pretraining) * n_pre
+        for epoch in range(1, n_pre + 1):
+            info = self.run_epoch(epoch, pretrain=True, net_t0=net_t, net_T=net_T,
+                                  loader=self.loaders.train_pretraining)
+            net_t = info["net_t_end"]
+            self._log_epoch(f"{log_prefix}pretrain", epoch, info)
+            self.log.log_values("log_epoch_overview", epoch, "n.a.", "n.a.",
+                                "n.a.", f"{info['loss']:.5f}")
+        if n_pre > 0:
+            save_checkpoint(self.log.checkpoint_dir, "net_pretrained", self.state,
+                            epoch=0, phase="pretrained")
+
+        # phase 2: fresh optimizer + schedulers (main.py:501-507)
+        self.state = reinit_optimizer(self.state)
+        net_t = 0
+        net_T = len(self.loaders.train) * n_epochs
+        ood_loader = self.ood_loaders.train if self.ood_loaders else None
+        last_eval = {}
+        for epoch in range(1, n_epochs + 1):
+            info = self.run_epoch(epoch, pretrain=False, net_t0=net_t, net_T=net_T,
+                                  loader=self.loaders.train, ood_loader=ood_loader)
+            net_t = info["net_t_end"]
+            self._log_epoch(f"{log_prefix}train", epoch + n_pre, info)
+            if (epoch % eval_every == 0 or epoch == n_epochs) and n_epochs > 1:
+                last_eval = self.evaluate(self.loaders.test)
+                self.log.message(f"epoch {epoch}: test top1 {last_eval['top1']:.4f}")
+                self.log.log_values("log_epoch_overview", epoch + n_pre,
+                                    f"{last_eval['top1']:.5f}",
+                                    f"{last_eval['top5']:.5f}",
+                                    f"{info['fine_accuracy']:.5f}",
+                                    f"{info['loss']:.5f}")
+            save_checkpoint(self.log.checkpoint_dir, "net_trained", self.state,
+                            epoch=epoch, phase="train")
+            if epoch % save_every == 0:
+                save_checkpoint(self.log.checkpoint_dir, f"net_trained_{epoch}",
+                                self.state, epoch=epoch, phase="train")
+        save_checkpoint(self.log.checkpoint_dir, "net_trained_last", self.state,
+                        epoch=n_epochs, phase="train")
+        return {"train": info if n_epochs else {}, "eval": last_eval}
+
+    # -- eval ----------------------------------------------------------------
+    def evaluate(self, loader: Loader, *, leave_out_classes=None,
+                 apply_overspecificity_mask: bool = False,
+                 path_prob_softmax_tau: float = 1.0) -> Dict[str, float]:
+        """Test pass (ref test_pipnet, pipnet/train.py:525-849): duplicated
+        views, inference thresholding, joint-distribution top-1/top-5."""
+        if apply_overspecificity_mask or path_prob_softmax_tau != 1.0:
+            step = make_eval_step(self.model, self.tree,
+                                  path_prob_softmax_tau=path_prob_softmax_tau,
+                                  apply_overspecificity_mask=apply_overspecificity_mask)
+        else:
+            step = self.eval_step
+        top1 = top5 = n = 0
+        leave_out_idx = None
+        if leave_out_classes:
+            leave_out_idx = np.asarray(
+                [self.tree.class_names.index(c) for c in leave_out_classes])
+        rng = jax.random.PRNGKey(0)
+        for batch in loader.epoch(0):
+            rng, sub = jax.random.split(rng)
+            out = step(self.state.params, self.state.batch_stats,
+                       jnp.asarray(batch.xs1), jnp.asarray(batch.ys), sub)
+            logp = np.asarray(out["log_joint"])
+            if leave_out_idx is not None:
+                keep = np.isin(batch.ys, leave_out_idx)
+                logp, ys = logp[keep], batch.ys[keep]
+            else:
+                ys = batch.ys
+            if len(ys) == 0:
+                continue
+            order = np.argsort(-logp, axis=-1)
+            top1 += int((order[:, 0] == ys).sum())
+            k = min(5, logp.shape[-1])
+            top5 += int((order[:, :k] == ys[:, None]).any(-1).sum())
+            n += len(ys)
+        return {"top1": top1 / max(n, 1), "top5": top5 / max(n, 1), "n": n}
+
+    # per-node CSV columns (fixed, "n.a" when a loss is inactive in a phase —
+    # the reference's fixed set, pipnet/train.py:186-194, plus the hierarchical
+    # extras)
+    NODE_LOSS_COLS = ("class", "tanh", "tanh_desc", "kernel_orth", "align_pf")
+
+    # -- logging -------------------------------------------------------------
+    def _log_epoch(self, split: str, epoch: int, info: Dict) -> None:
+        import json
+        name = f"epoch_wise_metrics_{split}"
+        self.log.create_log(name, "epoch", "fine_accuracy", "loss", "images_per_sec")
+        self.log.log_values(name, epoch, f"{info['fine_accuracy']:.5f}",
+                            f"{info.get('loss/total', 0.0):.5f}",
+                            f"{info['images_per_sec']:.2f}")
+        # full loss detail as JSONL (columns vary by phase)
+        import os
+        with open(os.path.join(self.log.log_dir, f"metrics_{split}.jsonl"), "a") as f:
+            row = {k: float(v) for k, v in info.items()
+                   if not isinstance(v, (dict, np.ndarray))}
+            row["epoch"] = epoch
+            f.write(json.dumps(row) + "\n")
+        # per-node loss CSVs (ref pipnet/train.py:503-518)
+        per_node = info.get("per_node", {})
+        sub = f"node_wise_metrics_{split}"
+        for ni, node_name in enumerate(self.tree.node_names):
+            log_name = f"{sub}/{node_name}_losses"
+            self.log.create_log(log_name, "epoch", *self.NODE_LOSS_COLS, "accuracy")
+            vals = []
+            for c in self.NODE_LOSS_COLS:
+                v = per_node.get(f"per_node/{c}_per_node")
+                vals.append(f"{v[ni]:.5f}" if v is not None else "n.a")
+            acc = info["node_accuracy"][ni]
+            self.log.log_values(log_name, epoch, *vals, f"{acc:.4f}")
+        self.history.append((split, epoch, {k: v for k, v in info.items()
+                                            if not isinstance(v, (dict, np.ndarray))}))

@@ -1,0 +1,167 @@
+"""Training engine tests: optimizer semantics, phase machine, end-to-end
+training on the synthetic dataset, checkpoint round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pipnet_tpu.config import (HeadConfig, LossConfig, ModelConfig,
+                               OptimConfig, RunConfig, TrainConfig)
+from pipnet_tpu.data import build_loaders, generate_synthetic_dataset
+from pipnet_tpu.models import build_pipnet
+from pipnet_tpu.train import (adam_init, adam_update, cosine_annealing,
+                              cosine_warm_restarts, group_trainable,
+                              phase_for_epoch, restore_checkpoint,
+                              save_checkpoint)
+from pipnet_tpu.train.trainer import Trainer
+from pipnet_tpu.tree import build_tree_from_config
+
+
+class TestAdam:
+    def test_masked_update_keeps_state(self):
+        params = {"a": jnp.ones(3), "b": jnp.ones(3)}
+        grads = {"a": jnp.full(3, 0.5), "b": jnp.full(3, 0.5)}
+        st = adam_init(params)
+        lr = {"a": jnp.float32(0.1), "b": jnp.float32(0.1)}
+        mask = {"a": jnp.asarray(True), "b": jnp.asarray(False)}
+        p1, st1 = adam_update(params, grads, st, lr, mask)
+        assert not np.allclose(p1["a"], 1.0)
+        np.testing.assert_array_equal(p1["b"], 1.0)
+        np.testing.assert_array_equal(st1.mu["b"], 0.0)
+        assert int(st1.count["a"]) == 1 and int(st1.count["b"]) == 0
+
+    def test_matches_torch_adamw_unmasked(self):
+        """Bias-corrected first steps match torch.optim.AdamW."""
+        torch = pytest.importorskip("torch")
+        w0 = np.random.default_rng(0).standard_normal(5).astype(np.float32)
+        g = np.random.default_rng(1).standard_normal(5).astype(np.float32)
+
+        tp = torch.nn.Parameter(torch.tensor(w0))
+        opt = torch.optim.AdamW([tp], lr=0.05, weight_decay=0.0)
+        params = {"w": jnp.asarray(w0)}
+        st = adam_init(params)
+        lr = {"w": jnp.float32(0.05)}
+        mask = {"w": jnp.asarray(True)}
+        for _ in range(3):
+            tp.grad = torch.tensor(g)
+            opt.step()
+            params, st = adam_update(params, {"w": jnp.asarray(g)}, st, lr, mask)
+        np.testing.assert_allclose(params["w"], tp.detach().numpy(),
+                                   rtol=1e-4, atol=2e-6)
+
+
+class TestSchedules:
+    def test_cosine_annealing_endpoints(self):
+        assert float(cosine_annealing(0.1, 0.001, 0.0, 100.0)) == pytest.approx(0.1)
+        assert float(cosine_annealing(0.1, 0.001, 100.0, 100.0)) == pytest.approx(0.001)
+
+    def test_warm_restarts_restart(self):
+        lr0 = float(cosine_warm_restarts(0.05, 0.001, 0.0, 5.0))
+        lr_end = float(cosine_warm_restarts(0.05, 0.001, 4.999, 5.0))
+        lr_restart = float(cosine_warm_restarts(0.05, 0.001, 5.0, 5.0))
+        assert lr0 == pytest.approx(0.05)
+        assert lr_end < 0.0011
+        assert lr_restart == pytest.approx(0.05)
+
+
+class TestPhaseMachine:
+    """The requires_grad state machine (main.py:431-445,521-626)."""
+
+    def _cfg(self, **kw):
+        return TrainConfig(epochs=60, epochs_pretrain=10, epochs_finetune=5,
+                           epochs_finetune_classifier=3, freeze_epochs=10, **kw)
+
+    def test_pretrain(self):
+        ph = phase_for_epoch(1, self._cfg(), pretrain=True)
+        assert ph.pretrain
+        assert group_trainable("add_on", ph)
+        assert group_trainable("train", ph) and group_trainable("freeze", ph)
+        assert not group_trainable("classifier", ph)
+        assert not group_trainable("backbone", ph)
+
+    def test_finetune_classifier(self):
+        ph = phase_for_epoch(2, self._cfg(), pretrain=False)
+        assert ph.finetune
+        assert group_trainable("classifier", ph)
+        assert not group_trainable("add_on", ph)
+        assert not group_trainable("train", ph)
+
+    def test_finetune(self):
+        ph = phase_for_epoch(4, self._cfg(), pretrain=False)
+        assert ph.finetune
+        assert group_trainable("classifier", ph)
+        assert not group_trainable("train", ph)   # net optimizer not stepped
+
+    def test_frozen_then_full(self):
+        ph = phase_for_epoch(8, self._cfg(), pretrain=False)
+        assert not ph.finetune
+        assert group_trainable("train", ph) and group_trainable("add_on", ph)
+        assert not group_trainable("backbone", ph)
+        ph = phase_for_epoch(11, self._cfg(), pretrain=False)
+        assert group_trainable("backbone", ph)
+
+    def test_mask_only(self):
+        cfg = self._cfg(epochs_finetune_mask_prune=20)
+        ph = phase_for_epoch(21, cfg, pretrain=False)
+        assert ph.mask_only
+        assert group_trainable("presence", ph)
+        assert not group_trainable("classifier", ph)
+        assert not group_trainable("train", ph)
+
+
+@pytest.fixture(scope="module")
+def run_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    train_dir, test_dir, phy = generate_synthetic_dataset(
+        str(root), num_classes=6, images_per_class=8, image_size=48)
+    tree_root = build_tree_from_config(phy, None)
+    cfg = RunConfig(
+        model=ModelConfig(backbone="convnext_tiny_26", image_size=48,
+                          num_protos_per_child=4,
+                          head=HeadConfig(softmax_tau=1.0, protopool=False)),
+        train=TrainConfig(
+            batch_size=6, batch_size_pretrain=6, epochs=2, epochs_pretrain=1,
+            epochs_finetune=0, epochs_finetune_classifier=1, freeze_epochs=10,
+            seed=1,
+            optim=OptimConfig(lr=0.05, lr_block=5e-4, lr_net=5e-4),
+            loss=LossConfig(align=True, uni=False, align_pf=True, tanh=True,
+                            tanh_during_second_phase=True, tanh_desc=True,
+                            kernel_orth=True, minimize_contrasting_set=True,
+                            weighted_ce=True,
+                            mask_prune_overspecific=True)),
+        log_dir=str(root / "run"))
+    model, tree = build_pipnet(tree_root, cfg.model, weighted=True)
+    loaders = build_loaders(train_dir, test_dir, image_size=48, batch_size=6,
+                            batch_size_pretrain=6, seed=1)
+    return cfg, model, tree, loaders, root
+
+
+class TestEndToEnd:
+    def test_fit_and_eval(self, run_setup):
+        cfg, model, tree, loaders, root = run_setup
+        trainer = Trainer(model, tree, cfg, loaders)
+        result = trainer.fit(eval_every=2, save_every=10)
+        assert "eval" in result and result["eval"]["n"] > 0
+        # losses are finite
+        for split, epoch, info in trainer.history:
+            for k, v in info.items():
+                assert np.isfinite(v), (split, epoch, k, v)
+        # csvs written
+        assert (root / "run" / "log_epoch_overview.csv").exists()
+        assert (root / "run" / "metadata" / "config.json").exists()
+        node0 = tree.node_names[0]
+        assert (root / "run" / "node_wise_metrics_train" /
+                f"{node0}_losses.csv").exists()
+
+    def test_checkpoint_roundtrip(self, run_setup):
+        cfg, model, tree, loaders, root = run_setup
+        trainer = Trainer(model, tree, cfg, loaders)
+        trainer.init_state(48)
+        path = save_checkpoint(trainer.log.checkpoint_dir, "net_test",
+                               trainer.state, epoch=3)
+        state2, extra = restore_checkpoint(path, trainer.state)
+        assert extra["epoch"] == 3
+        w1 = trainer.state.params["head"]["cls_weight"]
+        w2 = state2.params["head"]["cls_weight"]
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
