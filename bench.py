@@ -76,15 +76,16 @@ def main():
                       align_pf_weight=jnp.float32(5.0),
                       tanh_weight=jnp.float32(2.0), epoch=jnp.float32(20))
 
-    # warmup / compile
+    # warmup / compile.  NOTE: device-queue fencing uses an actual scalar
+    # fetch because block_until_ready is unreliable over the axon tunnel.
     state, metrics = step(state, xs1, xs2, ys, scalars)
-    jax.block_until_ready(metrics["loss"])
+    float(np.asarray(metrics["loss"]))
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, xs1, xs2, ys, scalars)
-    jax.block_until_ready(metrics["loss"])
+    float(np.asarray(metrics["loss"]))
     dt = time.perf_counter() - t0
     img_per_sec = iters * batch / dt
 

@@ -44,6 +44,7 @@ class ModelConfig:
     pretrained_backbone_path: Optional[str] = None
     compute_dtype: str = "float32"       # float32 | bfloat16
     use_pallas_head: bool = False
+    use_byol: bool = False               # add patch-level BYOL projector/predictor
     stage4_reducer: Tuple[Tuple[int, int, bool], ...] = ()   # (in, out, gelu) stack
 
 
@@ -189,6 +190,7 @@ def from_reference_flags(args) -> RunConfig:
         num_protos_per_descendant=int(get("num_protos_per_descendant", 4)),
         num_protos_per_child=int(get("num_protos_per_child", 0)),
         head=head,
+        use_byol=(get("byol", "n") or "n").split("|")[0] == "y",
         stage4_reducer=reducer,
     )
 

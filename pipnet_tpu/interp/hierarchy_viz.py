@@ -1,0 +1,119 @@
+"""Hierarchical prototype galleries.
+
+Counterpart of ``util/vis_hpipnet.py:184-389`` (``save_images_topk``): per
+node, per prototype, a gallery of the top-k activating patches for every
+RELEVANT leaf descendant — and optionally for NON-descendants (evidence the
+prototype leaks outside its clade) — with JET heatmap overlays and the
+overspecificity verdict from the learned presence logits."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from ..tree.compile import TreeArrays
+from .heatmaps import draw_patch_box, overlay_heatmap, save_image_grid
+from .pruning import presence_prune_mask
+from .topk import ProjectionResult, topk_per_prototype_per_leaf
+
+
+def _load(proj: ProjectionResult, idx: int) -> np.ndarray:
+    with Image.open(proj.paths[idx]) as im:
+        im = im.convert("RGB").resize((proj.image_size, proj.image_size),
+                                      Image.BILINEAR)
+    return np.asarray(im, np.uint8)
+
+
+def nondescendant_topk(proj: ProjectionResult, tree: TreeArrays,
+                       w_eff: np.ndarray, k: int = 5) -> Dict[int, List]:
+    """Per prototype, top-k images among classes NOT under the prototype's
+    relevant children (the 'non-descendants' gallery,
+    vis_hpipnet find_non_descendants branch)."""
+    out = {}
+    thr = w_eff > 1e-3
+    for p in range(proj.pooled.shape[1]):
+        if not tree.proto_valid[p]:
+            continue
+        ni = int(tree.proto_node[p])
+        cs = tree.node_child_slice(ni)
+        rel_cols = np.nonzero(thr[cs, p])[0] + cs.start
+        if len(rel_cols) == 0:
+            continue
+        leaf_in = tree.child_leaf_matrix[:, rel_cols].sum(axis=1) > 0
+        rows = np.nonzero(~leaf_in[proj.ys])[0]
+        if len(rows) == 0:
+            continue
+        col = proj.pooled[rows, p]
+        order = np.argsort(-col)[:k]
+        out[p] = [(int(rows[i]), float(col[i])) for i in order]
+    return out
+
+
+def save_hierarchy_galleries(proj: ProjectionResult, tree: TreeArrays,
+                             w_eff: np.ndarray, proto_presence: np.ndarray,
+                             out_dir: str, *, k: int = 10,
+                             with_nondescendants: bool = True,
+                             heatmaps: bool = True,
+                             nodes: Optional[List[int]] = None) -> List[str]:
+    """Write per-node galleries; returns written paths.
+
+    Layout: ``<out_dir>/<node>/prototype_<p>[_OVERSPECIFIC]/<leaf>.png`` grids
+    of cropped argmax patches, plus ``..._heatmaps.png`` full-image overlays;
+    ``<node>/nondesc_prototype_<p>.png`` for the contrast galleries."""
+    per_leaf = topk_per_prototype_per_leaf(proj, tree, w_eff, k=k)
+    keep = presence_prune_mask(proto_presence)
+    written: List[str] = []
+    node_list = nodes if nodes is not None else range(tree.num_nodes)
+    nd = (nondescendant_topk(proj, tree, w_eff, k=max(3, k // 2))
+          if with_nondescendants else {})
+    for ni in node_list:
+        node_name = tree.node_names[ni]
+        sl = tree.node_proto_slice(ni)
+        for p in range(sl.start, sl.stop):
+            if p not in per_leaf or not per_leaf[p]:
+                continue
+            verdict = "" if keep[p] > 0 else "_OVERSPECIFIC"
+            pdir = os.path.join(out_dir, node_name, f"prototype_{p}{verdict}")
+            for li, entries in per_leaf[p].items():
+                patches, labels = [], []
+                for img_idx, score in entries:
+                    img = _load(proj, img_idx)
+                    h0, h1, w0, w1 = proj.patch_box(img_idx, p)
+                    patches.append(np.asarray(
+                        Image.fromarray(img[h0:h1, w0:w1]).resize((64, 64))))
+                    labels.append(f"{score:.2f}")
+                if patches:
+                    written.append(save_image_grid(
+                        patches, os.path.join(pdir, f"{tree.class_names[li]}.png"),
+                        labels=labels))
+            if heatmaps and per_leaf[p]:
+                some_li = next(iter(per_leaf[p]))
+                if per_leaf[p][some_li]:
+                    img_idx, _ = per_leaf[p][some_li][0]
+                    img = _load(proj, img_idx)
+                    # reconstruct the latent activation from argmax info only is
+                    # lossy; overlay a peak marker box instead when maps are not
+                    # retained (full maps live only transiently on device)
+                    boxed = draw_patch_box(Image.fromarray(img),
+                                           proj.patch_box(img_idx, p))
+                    path = os.path.join(pdir, "peak_patch.png")
+                    os.makedirs(pdir, exist_ok=True)
+                    boxed.save(path)
+                    written.append(path)
+        for p, entries in nd.items():
+            if not (sl.start <= p < sl.stop):
+                continue
+            patches = []
+            for img_idx, score in entries:
+                img = _load(proj, img_idx)
+                h0, h1, w0, w1 = proj.patch_box(img_idx, p)
+                patches.append(np.asarray(
+                    Image.fromarray(img[h0:h1, w0:w1]).resize((64, 64))))
+            if patches:
+                written.append(save_image_grid(
+                    patches,
+                    os.path.join(out_dir, node_name, f"nondesc_prototype_{p}.png")))
+    return written

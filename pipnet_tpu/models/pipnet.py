@@ -71,6 +71,10 @@ class PIPNet(nn.Module):
             channels = self.cfg.stage4_reducer[-1][1]
         self.head = PrototypeHead(tree=self.tree, cfg=self.cfg.head,
                                   in_channels=channels, dtype=dtype)
+        if self.cfg.use_byol:
+            from .byol import PatchMLP
+            self.projector = PatchMLP(channels, dtype=dtype)
+            self.predictor = PatchMLP(channels, dtype=dtype)
 
     def features(self, xs: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         f = self.backbone(xs, train=train)
@@ -81,15 +85,28 @@ class PIPNet(nn.Module):
     def __call__(self, xs: jnp.ndarray, *, train: bool = False, inference: bool = False,
                  apply_overspecificity_mask: bool = False,
                  gumbel_rng: Optional[jax.Array] = None,
-                 mask_rng: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+                 mask_rng: Optional[jax.Array] = None,
+                 with_byol: bool = False) -> Dict[str, jnp.ndarray]:
         """Returns {'features', 'proto_features', 'pooled', 'logits'} with the
-        stacked layouts (B,H,W,D), (B,H,W,P), (B,P), (B,C)."""
+        stacked layouts (B,H,W,D), (B,H,W,P), (B,P), (B,C); with
+        ``with_byol`` also 'byol_online' = predictor(projector(features))
+        (ref pipnet_byol/pipnet_byol.py:105-110)."""
         f = self.features(xs, train=train)
         out = self.head(f, inference=inference,
                         apply_overspecificity_mask=apply_overspecificity_mask,
                         gumbel_rng=gumbel_rng, mask_rng=mask_rng)
         out["features"] = f
+        if with_byol:
+            if not self.cfg.use_byol:
+                raise ValueError("model built without use_byol")
+            out["byol_online"] = self.predictor(self.projector(f, train=train),
+                                                train=train)
         return out
+
+    def byol_target_projection(self, xs: jnp.ndarray, *, train: bool = False):
+        """Target branch: projector(backbone(xs)) — applied with the EMA
+        target parameter tree (ref pipnet_byol/pipnet_byol.py:110)."""
+        return self.projector(self.features(xs, train=train), train=train)
 
 
 # ----------------------------------------------------------------------------

@@ -27,6 +27,7 @@ def _to_saveable(state: TrainState) -> Dict[str, Any]:
         "opt_count": state.opt.count,
         "rng": jax.random.key_data(state.rng) if jax.dtypes.issubdtype(
             state.rng.dtype, jax.dtypes.prng_key) else state.rng,
+        "byol": state.byol,
     }
 
 
@@ -68,7 +69,7 @@ def restore_checkpoint(path: str, template: Optional[TrainState] = None):
         params=restored["params"], batch_stats=restored.get("batch_stats") or {},
         opt=AdamState(mu=restored["opt_mu"], nu=restored["opt_nu"],
                       count=restored["opt_count"]),
-        rng=rng)
+        rng=rng, byol=restored.get("byol") or ())
     return state, extra
 
 

@@ -73,6 +73,11 @@ def label_params(params: PyTree, backbone_arch: str) -> PyTree:
                 labels.append("frozen")
         elif "reducer" in p:
             labels.append("train")             # stage4_reducer trains with the tail
+        elif "projector" in p or "predictor" in p:
+            # BYOL heads train with the net optimizer (the reference's BYOL
+            # optimizer path is NotImplemented, util/args.py:453-454; standard
+            # BYOL practice puts them at the backbone-tail learning rate)
+            labels.append("train")
         elif "backbone" in p:
             mod = p.split("backbone/")[-1].split("/")[0]
             if backbone_arch.startswith("convnext"):

@@ -36,6 +36,7 @@ class TrainState(NamedTuple):
     batch_stats: PyTree            # {} for BN-free backbones
     opt: AdamState
     rng: jax.Array
+    byol: PyTree = ()              # EMA target {backbone, projector} or ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,11 +61,15 @@ class Scalars(NamedTuple):
 
 
 def init_train_state(model: PIPNet, rng: jax.Array, sample: jnp.ndarray) -> TrainState:
-    variables = model.init(rng, sample)
+    variables = model.init(rng, sample, with_byol=model.cfg.use_byol)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    byol = ()
+    if model.cfg.use_byol:
+        from ..models.byol import init_byol_state
+        byol = init_byol_state(params["backbone"], params["projector"])
     return TrainState(params=params, batch_stats=batch_stats,
-                      opt=adam_init(params), rng=rng)
+                      opt=adam_init(params), rng=rng, byol=byol)
 
 
 def reinit_optimizer(state: TrainState) -> TrainState:
@@ -112,9 +117,23 @@ def make_train_step(model: PIPNet, tree: TreeArrays, cfg: RunConfig,
                 w = jax.nn.relu(w)
             return w * cls_mask
 
+        byol_active = lcfg.byol and model.cfg.use_byol and not ph.finetune
+        byol_target = None
+        if byol_active:
+            # EMA target branch projection (stop-grad by construction: target
+            # params are not differentiated)
+            tvars = {"params": {"backbone": state.byol["target_backbone"],
+                                "projector": state.byol["target_projector"],
+                                "head": state.params["head"],
+                                "predictor": state.params["predictor"]}}
+            if state.batch_stats:
+                tvars["batch_stats"] = state.batch_stats
+            byol_target = jax.lax.stop_gradient(model.apply(
+                tvars, xs, method=PIPNet.byol_target_projection))
+
         def loss_fn(params):
             out, new_bs = _apply(model, params, state.batch_stats, xs,
-                                 train=True, rng=drop_rng)
+                                 train=True, rng=drop_rng, with_byol=byol_active)
             w_eff = effective_w(params)
             weights = LossWeights(
                 align_pf=scalars.align_pf_weight,
@@ -129,7 +148,8 @@ def make_train_step(model: PIPNet, tree: TreeArrays, cfg: RunConfig,
                 multiplier=jax.lax.stop_gradient(params["head"]["multiplier"][0]),
                 cfg=eff_lcfg, weights=weights, tree=tree,
                 pretrain=ph.pretrain, finetune=ph.finetune, epoch=1,
-                ood_present=statics.has_ood, rng=loss_rng)
+                ood_present=statics.has_ood, rng=loss_rng,
+                byol_online=out.get("byol_online"), byol_target=byol_target)
             return total, (aux, out, new_bs)
 
         (loss, (aux, out, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -182,8 +202,20 @@ def make_train_step(model: PIPNet, tree: TreeArrays, cfg: RunConfig,
             else:
                 metrics[f"per_node/{k}"] = v
 
+        new_byol = state.byol
+        if byol_active:
+            from ..models.byol import byol_tau_schedule, ema_update
+            tau = byol_tau_schedule(scalars.net_t, scalars.net_T,
+                                    lcfg.byol_tau_base, lcfg.byol_tau_max)
+            new_byol = {
+                "target_backbone": ema_update(state.byol["target_backbone"],
+                                              new_params["backbone"], tau),
+                "target_projector": ema_update(state.byol["target_projector"],
+                                               new_params["projector"], tau),
+            }
+
         new_state = TrainState(params=new_params, batch_stats=new_bs,
-                               opt=new_opt, rng=rng)
+                               opt=new_opt, rng=rng, byol=new_byol)
         return new_state, metrics
 
     return step

@@ -1,0 +1,174 @@
+"""Interpretability tests: projection sweep, top-k, pruning, part purity,
+prediction explanation, adversarial mask, MIPS — on the synthetic fixture."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pipnet_tpu.config import HeadConfig, ModelConfig
+from pipnet_tpu.data import (EvalDataset, EvalTransform, Loader,
+                             build_loaders, generate_synthetic_dataset,
+                             scan_image_folder)
+from pipnet_tpu.interp import (adversarial_locs_mask, build_patch_index,
+                               eval_prototypes_parts_csv, explain_image,
+                               get_img_coordinates, get_patch_size,
+                               mips_query, presence_prune_mask,
+                               run_projection, save_hierarchy_galleries,
+                               threshold_prune, topk_per_prototype,
+                               topk_per_prototype_per_leaf,
+                               write_topk_patch_csv)
+from pipnet_tpu.models import build_pipnet
+from pipnet_tpu.tree import build_tree_from_config
+
+
+@pytest.fixture(scope="module")
+def proj_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("interp")
+    train_dir, test_dir, phy = generate_synthetic_dataset(
+        str(root), num_classes=4, images_per_class=4, image_size=48)
+    tree_root = build_tree_from_config(phy, None)
+    cfg = ModelConfig(backbone="convnext_tiny_26", image_size=48,
+                      num_protos_per_child=4,
+                      head=HeadConfig(softmax_tau=1.0, protopool=False))
+    model, tree = build_pipnet(tree_root, cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 3)))["params"]
+    folder = scan_image_folder(train_dir)
+    loader = Loader(EvalDataset(folder, EvalTransform(48)), 1, shuffle=False,
+                    drop_last=False, prefetch=0)
+    proj = run_projection(model, tree, params, {}, loader, image_size=48,
+                          batch_size=8)
+    w_eff = np.asarray(model.apply(
+        {"params": params}, method=lambda m: m.head.effective_cls_weight()))
+    return root, model, tree, params, proj, w_eff, folder
+
+
+class TestGeometry:
+    def test_patch_size_contract(self):
+        # ref util/func.py:3-6 at the flagship geometry
+        ps, skip = get_patch_size(224, 26)
+        assert ps == 32 and skip == 8
+
+    def test_coords_26(self):
+        # edge patches shift by -4; last patch clamps to image edge
+        box = get_img_coordinates(224, (26, 26), 32, 8, 0, 13)
+        assert box[0] == 0
+        box = get_img_coordinates(224, (26, 26), 32, 8, 25, 25)
+        assert box[1] == 224 and box[0] == 192
+
+
+class TestProjection:
+    def test_shapes(self, proj_setup):
+        root, model, tree, params, proj, w_eff, folder = proj_setup
+        assert proj.pooled.shape == (len(folder), tree.num_protos_padded)
+        assert len(proj.paths) == len(folder)
+        assert proj.latent_hw is not None
+
+    def test_topk(self, proj_setup):
+        root, model, tree, params, proj, w_eff, folder = proj_setup
+        topk = topk_per_prototype(proj, k=3)
+        p0 = int(np.nonzero(tree.proto_valid)[0][0])
+        assert len(topk[p0]) == 3
+        scores = [s for _, s in topk[p0]]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_per_leaf(self, proj_setup):
+        root, model, tree, params, proj, w_eff, folder = proj_setup
+        per_leaf = topk_per_prototype_per_leaf(proj, tree, w_eff, k=2)
+        assert per_leaf
+        for p, leafmap in per_leaf.items():
+            ni = int(tree.proto_node[p])
+            for li in leafmap:
+                assert tree.leaf_under_node[li, ni]
+
+
+class TestPruning:
+    def test_threshold_prune(self, proj_setup):
+        root, model, tree, params, proj, w_eff, folder = proj_setup
+        cls_w = np.asarray(params["head"]["cls_weight"])
+        new_w, means = threshold_prune(proj, tree, cls_w, w_eff,
+                                       threshold=2.0, topk=2)
+        # threshold 2.0 > softmax max 1.0 -> everything pruned
+        for p in means:
+            assert (new_w[:, p] == 0).all()
+        new_w2, _ = threshold_prune(proj, tree, cls_w, w_eff, threshold=0.0)
+        assert np.array_equal(new_w2, cls_w)
+
+    def test_presence_mask(self):
+        logits = np.asarray([[0.0, 1.0], [2.0, -1.0]])
+        np.testing.assert_array_equal(presence_prune_mask(logits), [1.0, 0.0])
+
+
+class TestPartPurity:
+    def test_csv_roundtrip(self, proj_setup, tmp_path):
+        root, model, tree, params, proj, w_eff, folder = proj_setup
+        csvf = write_topk_patch_csv(proj, str(tmp_path / "topk.csv"), k=2,
+                                    w_eff=w_eff)
+        assert os.path.exists(csvf)
+        # synthetic part annotations: every image gets one part at its center
+        imgs_id = tmp_path / "images.txt"
+        parts_loc = tmp_path / "part_locs.txt"
+        parts_names = tmp_path / "parts.txt"
+        with open(imgs_id, "w") as f:
+            for i, (p, _) in enumerate(folder.samples):
+                key = "/".join(p.split("/")[-2:])
+                f.write(f"{i} {key}\n")
+        with open(parts_loc, "w") as f:
+            for i in range(len(folder.samples)):
+                f.write(f"{i} 1 24.0 24.0 1\n")
+                f.write(f"{i} 2 2.0 2.0 1\n")
+        with open(parts_names, "w") as f:
+            f.write("1 beak\n2 left wing\n3 right wing\n")
+        res = eval_prototypes_parts_csv(csvf, str(parts_loc), str(parts_names),
+                                        str(imgs_id), image_size=48)
+        assert 0.0 <= res["mean_max_purity"] <= 1.0
+        assert res["num_prototypes"] > 0
+
+
+class TestExplain:
+    def test_explain_image(self, proj_setup, tmp_path):
+        root, model, tree, params, proj, w_eff, folder = proj_setup
+        img, y = folder.load(0)
+        from pipnet_tpu.data.augment import to_normalized_array, resize
+        x = to_normalized_array(resize(img, 48))
+        res = explain_image(model, tree, params, {}, x, str(tmp_path / "exp"),
+                            image_size=48, top_classes=2)
+        assert len(res["classes"]) == 2
+        assert res["classes"][0]["score"] >= res["classes"][1]["score"]
+        assert any(c["evidence"] for c in res["classes"])
+
+
+class TestHierarchyViz:
+    def test_galleries(self, proj_setup, tmp_path):
+        root, model, tree, params, proj, w_eff, folder = proj_setup
+        presence = np.asarray(params["head"]["proto_presence"])
+        written = save_hierarchy_galleries(proj, tree, w_eff, presence,
+                                           str(tmp_path / "gal"), k=2,
+                                           nodes=[0])
+        assert written and all(os.path.exists(p) for p in written)
+
+
+class TestAdversarial:
+    def test_locs_mask(self):
+        act = np.zeros((8, 8), np.float32)
+        act[4, 4] = 1.0
+        mask = np.asarray(adversarial_locs_mask(jnp.asarray(act), 0.4, 5))
+        assert not mask[4, 4] and not mask[3, 3]   # window excluded
+        assert mask[0, 0]                          # far low-activation kept
+
+
+class TestMIPS:
+    def test_index_and_query(self, proj_setup):
+        root, model, tree, params, proj, w_eff, folder = proj_setup
+        from pipnet_tpu.data import EvalDataset, EvalTransform, Loader
+        loader = Loader(EvalDataset(folder, EvalTransform(48)), 4,
+                        shuffle=False, drop_last=False, prefetch=0)
+        index = build_patch_index(model, params, {}, loader, max_images=8)
+        assert len(index) > 0
+        q = np.asarray(params["head"]["add_on_kernel"]).T[:3]
+        hits = mips_query(index, q, k=4)
+        assert len(hits) == 3 and len(hits[0]) == 4
+        scores = [s for *_, s in hits[0]]
+        assert scores == sorted(scores, reverse=True)

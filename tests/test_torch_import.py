@@ -1,0 +1,167 @@
+"""Torch-checkpoint import tests: a synthetic reference-style HComP-Net state
+dict (per-node conv/classifier weights) is mapped to the stacked layout and
+the stacked forward must reproduce a naive per-node computation exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pipnet_tpu.config import HeadConfig, ModelConfig
+from pipnet_tpu.models import build_pipnet
+from pipnet_tpu.models.torch_import import (convert_backbone,
+                                            convert_convnext_tiny,
+                                            convert_reference_pipnet)
+from pipnet_tpu.tree import compile_tree
+
+torch = pytest.importorskip("torch")
+
+
+def fake_convnext_sd(rng):
+    """State dict with torchvision convnext_tiny key structure/shapes."""
+    sd = {}
+    dims = (96, 192, 384, 768)
+    depths = (3, 3, 9, 3)
+    sd["features.0.0.weight"] = torch.tensor(rng.standard_normal((96, 3, 4, 4)), dtype=torch.float32)
+    sd["features.0.0.bias"] = torch.zeros(96)
+    sd["features.0.1.weight"] = torch.ones(96)
+    sd["features.0.1.bias"] = torch.zeros(96)
+    for stage in range(4):
+        d = dims[stage]
+        if stage > 0:
+            di = 2 * stage
+            sd[f"features.{di}.0.weight"] = torch.ones(dims[stage - 1])
+            sd[f"features.{di}.0.bias"] = torch.zeros(dims[stage - 1])
+            sd[f"features.{di}.1.weight"] = torch.tensor(
+                rng.standard_normal((d, dims[stage - 1], 2, 2)), dtype=torch.float32)
+            sd[f"features.{di}.1.bias"] = torch.zeros(d)
+        fi = 1 + 2 * stage
+        for blk in range(depths[stage]):
+            b = f"features.{fi}.{blk}."
+            sd[b + "block.0.weight"] = torch.tensor(
+                rng.standard_normal((d, 1, 7, 7)), dtype=torch.float32)
+            sd[b + "block.0.bias"] = torch.zeros(d)
+            sd[b + "block.2.weight"] = torch.ones(d)
+            sd[b + "block.2.bias"] = torch.zeros(d)
+            sd[b + "block.3.weight"] = torch.tensor(
+                rng.standard_normal((4 * d, d)) * 0.02, dtype=torch.float32)
+            sd[b + "block.3.bias"] = torch.zeros(4 * d)
+            sd[b + "block.5.weight"] = torch.tensor(
+                rng.standard_normal((d, 4 * d)) * 0.02, dtype=torch.float32)
+            sd[b + "block.5.bias"] = torch.zeros(d)
+            sd[b + "layer_scale"] = torch.full((d, 1, 1), 1e-6)
+    return sd
+
+
+def test_convnext_import_runs(rng):
+    from pipnet_tpu.models import convnext_tiny_26
+    sd = fake_convnext_sd(rng)
+    params = convert_convnext_tiny(sd)
+    model = convnext_tiny_26()
+    ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    # tree structures line up exactly
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref)[0]
+    flat_new = jax.tree_util.tree_flatten_with_path(params)[0]
+    paths_ref = {jax.tree_util.keystr(p): v.shape for p, v in flat_ref}
+    paths_new = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in flat_new}
+    assert paths_ref == paths_new
+    out = model.apply({"params": params}, jnp.zeros((1, 64, 64, 3)))
+    assert out.shape[-1] == 768
+
+
+def test_reference_pipnet_head_import_parity(tiny_root, rng):
+    """Stacked forward == naive per-node conv+relu-linear with the same
+    reference-layout weights."""
+    for node in tiny_root.nodes_with_children():
+        node.set_num_protos(0, 5, 0, True)
+    tree = compile_tree(tiny_root, protopool=False, weighted=False, pad_total_to=8)
+    D = 16
+    sd = {}
+    nodes = {n.name: n for n in tiny_root.nodes_with_children()}
+    for name, node in nodes.items():
+        pn = int(node.num_protos)
+        cn = node.num_children()
+        sd[f"module._{name}_add_on.weight"] = torch.tensor(
+            rng.standard_normal((pn, D, 1, 1)), dtype=torch.float32)
+        sd[f"module._{name}_classification.weight"] = torch.tensor(
+            rng.standard_normal((cn, pn)), dtype=torch.float32)
+        sd[f"module._{name}_proto_presence"] = torch.tensor(
+            rng.standard_normal((pn, 2)), dtype=torch.float32)
+    sd["module._multiplier"] = torch.tensor([2.0])
+
+    # convert only the head (backbone mapping covered by its own tests)
+    from pipnet_tpu.models.torch_import import _t, conv_w
+    P, C = tree.num_protos_padded, tree.num_children_total
+    add_on = np.zeros((D, P), np.float32)
+    cls_w = np.full((C, P), -0.5, np.float32)
+    for ni, name in enumerate(tree.node_names):
+        sl, cs = tree.node_proto_slice(ni), tree.node_child_slice(ni)
+        add_on[:, sl] = conv_w(sd[f"module._{name}_add_on.weight"])[0, 0]
+        cls_w[cs, sl] = _t(sd[f"module._{name}_classification.weight"])
+
+    # stacked computation: conv -> per-node softmax -> maxpool -> relu-linear
+    feats = rng.standard_normal((2, 3, 3, D)).astype(np.float32)
+    from pipnet_tpu.ops import segment_softmax
+    z = jnp.asarray(feats) @ jnp.asarray(add_on)
+    pf = segment_softmax(z, tree, tau=1.0)
+    pooled = jnp.max(pf, axis=(1, 2))
+    w_eff = jax.nn.relu(jnp.asarray(cls_w)) * jnp.asarray(tree.child_block_mask)
+    logits = pooled @ w_eff.T
+
+    # naive per-node with the original torch tensors
+    for ni, name in enumerate(tree.node_names):
+        node = nodes[name]
+        w = sd[f"module._{name}_add_on.weight"].numpy()[:, :, 0, 0]    # (P_n, D)
+        zn = feats @ w.T
+        e = np.exp(zn - zn.max(-1, keepdims=True))
+        pfn = e / e.sum(-1, keepdims=True)
+        pooled_n = pfn.max(axis=(1, 2))
+        cw = sd[f"module._{name}_classification.weight"].numpy()
+        # protopool='n': off-block weights are relu-dead; zero the partition
+        block = tree.child_block_mask[tree.node_child_slice(ni), tree.node_proto_slice(ni)]
+        logits_n = pooled_n @ (np.maximum(cw, 0) * block).T
+        sl, cs = tree.node_proto_slice(ni), tree.node_child_slice(ni)
+        np.testing.assert_allclose(np.asarray(pooled[:, sl]), pooled_n, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(logits[:, cs]), logits_n, rtol=1e-4, atol=1e-5)
+
+
+def test_resnet_import_shapes(rng):
+    from pipnet_tpu.models import resnet18_features
+    # build fake torchvision resnet18 sd
+    model = resnet18_features()
+    ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = {}
+    sd["conv1.weight"] = torch.tensor(rng.standard_normal((64, 3, 7, 7)), dtype=torch.float32)
+    for part, n in (("bn1", 64),):
+        sd[part + ".weight"] = torch.ones(n)
+        sd[part + ".bias"] = torch.zeros(n)
+        sd[part + ".running_mean"] = torch.zeros(n)
+        sd[part + ".running_var"] = torch.ones(n)
+    layers = (2, 2, 2, 2)
+    inpl = 64
+    for li, blocks in enumerate(layers):
+        planes = (64, 128, 256, 512)[li]
+        for bi in range(blocks):
+            pre = f"layer{li + 1}.{bi}."
+            sd[pre + "conv1.weight"] = torch.tensor(
+                rng.standard_normal((planes, inpl if bi == 0 else planes, 3, 3)),
+                dtype=torch.float32)
+            sd[pre + "conv2.weight"] = torch.tensor(
+                rng.standard_normal((planes, planes, 3, 3)), dtype=torch.float32)
+            for bn in ("bn1", "bn2"):
+                sd[pre + bn + ".weight"] = torch.ones(planes)
+                sd[pre + bn + ".bias"] = torch.zeros(planes)
+                sd[pre + bn + ".running_mean"] = torch.zeros(planes)
+                sd[pre + bn + ".running_var"] = torch.ones(planes)
+            if bi == 0 and inpl != planes:
+                sd[pre + "downsample.0.weight"] = torch.tensor(
+                    rng.standard_normal((planes, inpl, 1, 1)), dtype=torch.float32)
+                sd[pre + "downsample.1.weight"] = torch.ones(planes)
+                sd[pre + "downsample.1.bias"] = torch.zeros(planes)
+                sd[pre + "downsample.1.running_mean"] = torch.zeros(planes)
+                sd[pre + "downsample.1.running_var"] = torch.ones(planes)
+        inpl = planes
+    params, stats = convert_backbone("resnet18", sd)
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 8, 8, 512)

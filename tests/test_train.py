@@ -165,3 +165,49 @@ class TestEndToEnd:
         w1 = trainer.state.params["head"]["cls_weight"]
         w2 = state2.params["head"]["cls_weight"]
         np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
+class TestBYOL:
+    def test_byol_step(self, tmp_path):
+        """A BYOL-enabled train step runs, computes the byol loss, and the EMA
+        target drifts toward the online params."""
+        import dataclasses
+        from pipnet_tpu.config import (HeadConfig, LossConfig, ModelConfig,
+                                       OptimConfig, RunConfig, TrainConfig)
+        from pipnet_tpu.models import build_pipnet
+        from pipnet_tpu.train import (Scalars, StepStatics, init_train_state,
+                                      make_train_step, phase_for_epoch)
+        from pipnet_tpu.tree import Phylogeny, construct_phylo_tree
+        from pipnet_tpu.data.synthetic import (make_synthetic_newick,
+                                               synthetic_class_names)
+        rng = np.random.default_rng(0)
+        names = synthetic_class_names(4)
+        phylo = Phylogeny(newick=make_synthetic_newick(names, rng))
+        root = construct_phylo_tree(phylo=phylo)
+        root.assign_all_descendents()
+        mcfg = ModelConfig(backbone="convnext_tiny_26", image_size=48,
+                           num_protos_per_child=4, use_byol=True,
+                           head=HeadConfig(softmax_tau=1.0, protopool=False))
+        model, tree = build_pipnet(root, mcfg)
+        cfg = RunConfig(model=mcfg, train=TrainConfig(
+            batch_size=4, optim=OptimConfig(),
+            loss=LossConfig(align=True, uni=False, byol=True, tanh_desc=False)))
+        phase = phase_for_epoch(1, cfg.train, pretrain=True)
+        step = jax.jit(make_train_step(model, tree, cfg,
+                                       StepStatics(phase=phase, eta_min_net=5e-6)))
+        state = init_train_state(model, jax.random.PRNGKey(0),
+                                 jnp.zeros((2, 48, 48, 3)))
+        assert state.byol != ()
+        xs1 = jnp.asarray(rng.standard_normal((4, 48, 48, 3)), jnp.float32)
+        xs2 = jnp.asarray(rng.standard_normal((4, 48, 48, 3)), jnp.float32)
+        ys = jnp.asarray(rng.integers(0, 4, 4))
+        sc = Scalars(net_t=jnp.float32(0), net_T=jnp.float32(100),
+                     epoch_frac=jnp.float32(0), align_pf_weight=jnp.float32(0.5),
+                     tanh_weight=jnp.float32(5.0), epoch=jnp.float32(1))
+        new_state, metrics = step(state, xs1, xs2, ys, sc)
+        assert "loss/byol" in metrics and np.isfinite(float(metrics["loss/byol"]))
+        # target projector moved toward the (trained) online projector (tau < 1)
+        d = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+                         state.byol["target_projector"],
+                         new_state.byol["target_projector"])
+        assert max(jax.tree.leaves(d)) > 0
