@@ -45,7 +45,12 @@ class ModelConfig:
     compute_dtype: str = "float32"       # float32 | bfloat16
     use_pallas_head: bool = False
     use_byol: bool = False               # add patch-level BYOL projector/predictor
+    fast_gelu: bool = False              # tanh-approx GELU (perf mode; exact erf = parity)
     stage4_reducer: Tuple[Tuple[int, int, bool], ...] = ()   # (in, out, gelu) stack
+    # '--basic_cnext_gaussian_multiplier stages|sigma|factor'
+    gaussian_stages: Tuple[int, ...] = ()
+    gaussian_sigma: float = 1.0
+    gaussian_factor: float = 50.0
 
 
 @dataclass(frozen=True)
@@ -192,6 +197,10 @@ def from_reference_flags(args) -> RunConfig:
         head=head,
         use_byol=(get("byol", "n") or "n").split("|")[0] == "y",
         stage4_reducer=reducer,
+        gaussian_stages=tuple(int(s) for s in gm.split("|")[0].split(",")) if (
+            gm := get("basic_cnext_gaussian_multiplier", "") or "") else (),
+        gaussian_sigma=float(gm.split("|")[1]) if gm else 1.0,
+        gaussian_factor=float(gm.split("|")[2]) if gm else 50.0,
     )
 
     td = get("tanh_desc", "n") or "n"

@@ -38,24 +38,56 @@ class LayerNorm2d(nn.Module):
         return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
 
 
+def gaussian_window(size: int, sigma: float) -> jnp.ndarray:
+    """Normalized 2-D Gaussian window (ref BasicGaussianMultiplierConv2D.
+    generate_gaussian_kernel, features/convnext_features.py:65-74)."""
+    c = (size - 1) / 2.0
+    yy, xx = jnp.mgrid[0:size, 0:size]
+    k = jnp.exp(-(((xx - c) ** 2 + (yy - c) ** 2) / (2.0 * sigma ** 2)))
+    k = k / (2.0 * jnp.pi * sigma ** 2)
+    return k / k.sum()
+
+
 class CNBlock(nn.Module):
     """ConvNeXt block: dw7x7 -> LN -> MLP(4x, GELU) -> layer-scale -> +residual.
 
     ``sd_prob`` is the stochastic-depth drop probability ("row" mode: whole
     residual branch dropped per sample during training).
+
+    ``gaussian_multiplier=(sigma, factor)`` reproduces the reference's
+    receptive-field-shaping surgery (features/convnext_features.py:44-95):
+    the 7x7 depthwise kernel is multiplied by a fixed Gaussian window x factor
+    at forward time; the reference reads ``weight.data`` so NO gradient
+    reaches the kernel through this path — preserved with stop_gradient.
     """
     dim: int
     sd_prob: float = 0.0
+    gaussian_multiplier: Optional[Tuple[float, float]] = None
+    fast_gelu: bool = False      # tanh-approximate GELU (erf exact = torchvision parity)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         residual = x
-        h = nn.Conv(self.dim, kernel_size=(7, 7), padding=3,
-                    feature_group_count=self.dim, dtype=self.dtype, name="dwconv")(x)
+        if self.gaussian_multiplier is not None:
+            sigma, factor = self.gaussian_multiplier
+            kernel = self.param("dwconv_kernel", nn.initializers.lecun_normal(),
+                                (7, 7, 1, self.dim))
+            bias = self.param("dwconv_bias", nn.initializers.zeros, (self.dim,))
+            g = gaussian_window(7, sigma)[:, :, None, None] * factor
+            k = jax.lax.stop_gradient(kernel) * g.astype(kernel.dtype)
+            h = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k.astype(self.dtype), (1, 1),
+                [(3, 3), (3, 3)], feature_group_count=self.dim,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            h = h + jax.lax.stop_gradient(bias).astype(h.dtype)
+        else:
+            h = nn.Conv(self.dim, kernel_size=(7, 7), padding=3,
+                        feature_group_count=self.dim, dtype=self.dtype,
+                        name="dwconv")(x)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(h)
         h = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_in")(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = jax.nn.gelu(h, approximate=self.fast_gelu)
         h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_out")(h)
         scale = self.param("layer_scale", nn.initializers.constant(1e-6), (self.dim,))
         h = h * scale.astype(h.dtype)
@@ -78,6 +110,12 @@ class ConvNeXtTiny(nn.Module):
     stochastic_depth_prob: float = 0.1
     depths: Sequence[int] = CONVNEXT_TINY_DEPTHS
     dims: Sequence[int] = CONVNEXT_TINY_DIMS
+    # ref --basic_cnext_gaussian_multiplier 'stages|sigma|factor': 1-based
+    # stages whose blocks get the Gaussian-window kernel multiplier
+    gaussian_stages: Sequence[int] = ()
+    gaussian_sigma: float = 1.0
+    gaussian_factor: float = 50.0
+    fast_gelu: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -102,9 +140,12 @@ class ConvNeXtTiny(nn.Module):
                 x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"down{stage}_norm")(x)
                 x = nn.Conv(dim, kernel_size=(2, 2), strides=(stride, stride), padding="VALID",
                             dtype=self.dtype, name=f"down{stage}_conv")(x)
+            gm = ((self.gaussian_sigma, self.gaussian_factor)
+                  if (stage + 1) in self.gaussian_stages else None)
             for blk in range(depth):
                 sd = self.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
-                x = CNBlock(dim, sd_prob=sd, dtype=self.dtype,
+                x = CNBlock(dim, sd_prob=sd, gaussian_multiplier=gm,
+                            fast_gelu=self.fast_gelu, dtype=self.dtype,
                             name=f"stage{stage}_block{blk}")(x, train=train)
                 block_id += 1
         return x

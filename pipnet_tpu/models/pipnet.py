@@ -23,6 +23,7 @@ from .convnext import convnext_tiny_7, convnext_tiny_13, convnext_tiny_26
 from .heads import PrototypeHead
 from .resnet import (resnet18_features, resnet34_features, resnet50_features,
                      resnet50_features_inat, resnet101_features, resnet152_features)
+from .vit import dinov2_vits14
 
 BACKBONES = {
     "convnext_tiny_26": (convnext_tiny_26, 768),
@@ -34,6 +35,7 @@ BACKBONES = {
     "resnet50_inat": (resnet50_features_inat, 2048),
     "resnet101": (resnet101_features, 2048),
     "resnet152": (resnet152_features, 2048),
+    "dinov2_vits14": (dinov2_vits14, 384),
 }
 
 
@@ -65,7 +67,19 @@ class PIPNet(nn.Module):
         if self.cfg.backbone not in BACKBONES:
             raise ValueError(f"unknown backbone {self.cfg.backbone}; options: {list(BACKBONES)}")
         ctor, channels = BACKBONES[self.cfg.backbone]
-        self.backbone = ctor(dtype=dtype)
+        if self.cfg.gaussian_stages:
+            if not self.cfg.backbone.startswith("convnext"):
+                raise ValueError("gaussian multiplier surgery is a ConvNeXt-only "
+                                 "option (ref pipnet/pipnet.py:1142-1143)")
+            self.backbone = ctor(dtype=dtype,
+                                 gaussian_stages=self.cfg.gaussian_stages,
+                                 gaussian_sigma=self.cfg.gaussian_sigma,
+                                 gaussian_factor=self.cfg.gaussian_factor,
+                                 fast_gelu=self.cfg.fast_gelu)
+        elif self.cfg.backbone.startswith("convnext"):
+            self.backbone = ctor(dtype=dtype, fast_gelu=self.cfg.fast_gelu)
+        else:
+            self.backbone = ctor(dtype=dtype)
         if self.cfg.stage4_reducer:
             self.reducer = Stage4Reducer(self.cfg.stage4_reducer, dtype=dtype)
             channels = self.cfg.stage4_reducer[-1][1]
@@ -203,4 +217,6 @@ def latent_shape(cfg: ModelConfig) -> Tuple[int, int]:
         return (h, h)
     if cfg.backbone.startswith("resnet"):
         return (s // 8, s // 8)     # stride-1 layer3/4
+    if cfg.backbone.startswith("dinov2"):
+        return (s // 14, s // 14)   # ViT-S/14 patch grid (ref pipnet.py:1137)
     raise ValueError(cfg.backbone)

@@ -154,6 +154,8 @@ def convert_backbone(arch: str, sd: Mapping[str, Any], prefix: str = ""
     if arch in RESNET_SPECS:
         layers, bottleneck = RESNET_SPECS[arch]
         return convert_resnet(sd, layers, bottleneck, prefix)
+    if arch.startswith("dinov2"):
+        return convert_dinov2_vits14(sd, prefix), {}
     raise ValueError(f"unknown backbone arch {arch}")
 
 
@@ -213,3 +215,42 @@ def convert_reference_pipnet(sd: Mapping[str, Any], tree: TreeArrays,
         head["add_on_bias"] = bias
     params = {"backbone": backbone, "head": head}
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# DINOv2 ViT-S/14
+# ---------------------------------------------------------------------------
+
+def convert_dinov2_vits14(sd: Mapping[str, Any], prefix: str = "") -> Dict[str, Any]:
+    """torch.hub dinov2_vits14 state dict -> DinoV2ViT params
+    (the backbone the reference pulls at pipnet/pipnet.py:1125)."""
+    p = prefix
+    out: Dict[str, Any] = {
+        "patch_embed": {"kernel": conv_w(sd[p + "patch_embed.proj.weight"]),
+                        "bias": _t(sd[p + "patch_embed.proj.bias"])},
+        "cls_token": _t(sd[p + "cls_token"]),
+        "pos_embed": _t(sd[p + "pos_embed"]),
+        "norm": {"scale": _t(sd[p + "norm.weight"]),
+                 "bias": _t(sd[p + "norm.bias"])},
+    }
+    i = 0
+    while f"{p}blocks.{i}.norm1.weight" in sd:
+        b = f"{p}blocks.{i}."
+        out[f"block{i}"] = {
+            "norm1": {"scale": _t(sd[b + "norm1.weight"]),
+                      "bias": _t(sd[b + "norm1.bias"])},
+            "attn": {"qkv": {"kernel": dense_w(sd[b + "attn.qkv.weight"]),
+                             "bias": _t(sd[b + "attn.qkv.bias"])},
+                     "proj": {"kernel": dense_w(sd[b + "attn.proj.weight"]),
+                              "bias": _t(sd[b + "attn.proj.bias"])}},
+            "ls1": _t(sd[b + "ls1.gamma"]),
+            "norm2": {"scale": _t(sd[b + "norm2.weight"]),
+                      "bias": _t(sd[b + "norm2.bias"])},
+            "mlp_in": {"kernel": dense_w(sd[b + "mlp.fc1.weight"]),
+                       "bias": _t(sd[b + "mlp.fc1.bias"])},
+            "mlp_out": {"kernel": dense_w(sd[b + "mlp.fc2.weight"]),
+                        "bias": _t(sd[b + "mlp.fc2.bias"])},
+            "ls2": _t(sd[b + "ls2.gamma"]),
+        }
+        i += 1
+    return out

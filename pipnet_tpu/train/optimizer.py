@@ -82,6 +82,9 @@ def label_params(params: PyTree, backbone_arch: str) -> PyTree:
             mod = p.split("backbone/")[-1].split("/")[0]
             if backbone_arch.startswith("convnext"):
                 grp = convnext_param_groups({mod: None})[mod]
+            elif backbone_arch.startswith("dinov2"):
+                from ..models.vit import vit_param_groups
+                grp = vit_param_groups({mod: None})[mod]
             else:
                 grp = resnet_param_groups({mod: None}, backbone_arch)[mod]
             labels.append(grp)

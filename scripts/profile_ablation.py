@@ -52,11 +52,6 @@ def main():
     state = init_train_state(model, key, xs[:2])
     params = state.params
 
-    bb = jax.jit(lambda p, x: model.apply({"params": p}, x, train=False,
-                                          method=lambda m, xx, train: m.features(xx, train=train)))
-    t = timeit(bb, params, xs)
-    print(f"backbone fwd (2 views): {t*1e3:.1f} ms -> {2*B/t:.0f} img/s", flush=True)
-
     fwd = jax.jit(lambda p, x: model.apply({"params": p}, x)["logits"])
     t = timeit(fwd, params, xs)
     print(f"full fwd: {t*1e3:.1f} ms -> {2*B/t:.0f} img/s", flush=True)
@@ -89,21 +84,6 @@ def main():
 
     t = timeit(run, state, iters=5)
     print(f"full train step: {t*1e3:.1f} ms -> {B/t:.0f} labeled img/s", flush=True)
-
-    # loss-only cost: train step minus fwd+bwd approx; also no-loss variant
-    cfg2 = RunConfig(model=mcfg, train=TrainConfig(
-        batch_size=B, optim=OptimConfig(),
-        loss=LossConfig(align=False, uni=False, align_pf=False, tanh=False,
-                        tanh_desc=False, kernel_orth=False,
-                        minimize_contrasting_set=False, weighted_ce=True)))
-    step2 = jax.jit(make_train_step(model, tree, cfg2, StepStatics(phase=phase, eta_min_net=5e-6)))
-
-    def run2(state):
-        s2, m = step2(state, xs1, xs2, ys, sc)
-        return m["loss"]
-
-    t = timeit(run2, state, iters=5)
-    print(f"train step (class loss only): {t*1e3:.1f} ms -> {B/t:.0f} labeled img/s", flush=True)
 
 
 if __name__ == "__main__":
