@@ -1,0 +1,114 @@
+"""Standalone evaluation driver (counterpart of ``test_nb.py``):
+rebuild a model from a run directory's saved config + checkpoint and run the
+test pass (top-1/5, sparsity, optional overspecificity mask / leave-out).
+
+    python -m pipnet_tpu.evaluate --run_dir ./runs/cub190 \
+        [--checkpoint net_trained_last] [--apply_overspecificity_mask] \
+        [--path_prob_softmax_tau 1.0] [--leave_out_classes file.txt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def run(argv=None) -> int:
+    p = argparse.ArgumentParser("Evaluate a trained pipnet_tpu run")
+    p.add_argument("--run_dir", required=True)
+    p.add_argument("--checkpoint", default="net_trained_last")
+    p.add_argument("--apply_overspecificity_mask", action="store_true")
+    p.add_argument("--path_prob_softmax_tau", type=float, default=1.0)
+    p.add_argument("--leave_out_classes", default=None)
+    p.add_argument("--dataset", default=None)
+    args = p.parse_args(argv)
+
+    from .config import (HeadConfig, LossConfig, ModelConfig, OptimConfig,
+                         RunConfig, TrainConfig)
+    from .data import build_loaders
+    from .datasets import resolve_dataset
+    from .eval import sparsity_stats
+    from .models import build_pipnet
+    from .runtime.log import RunLog
+    from .train.checkpoint import restore_checkpoint
+    from .train.trainer import Trainer
+    from .tree import build_tree_from_config, flat_tree
+
+    with open(os.path.join(args.run_dir, "metadata", "config.json")) as f:
+        saved = json.load(f)
+
+    def build(cls, d):
+        import dataclasses
+        kw = {}
+        for fld in dataclasses.fields(cls):
+            if fld.name in d:
+                v = d[fld.name]
+                if dataclasses.is_dataclass(fld.type) or fld.name in (
+                        "head", "optim", "loss", "model", "train"):
+                    sub = {"head": HeadConfig, "optim": OptimConfig,
+                           "loss": LossConfig, "model": ModelConfig,
+                           "train": TrainConfig}[fld.name]
+                    v = build(sub, v)
+                elif isinstance(v, list):
+                    v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+                kw[fld.name] = v
+        return cls(**kw)
+
+    cfg = RunConfig(model=build(ModelConfig, saved["model"]),
+                    train=build(TrainConfig, saved["train"]),
+                    **{k: saved[k] for k in ("log_dir", "dataset", "phylo_config",
+                                             "leave_out_classes")
+                       if saved.get(k) is not None})
+    dataset = args.dataset or cfg.dataset
+    train_dir, test_dir, project_dir, dkw = resolve_dataset(dataset,
+                                                            seed=cfg.train.seed)
+    loaders = build_loaders(train_dir, test_dir, project_dir=project_dir,
+                            image_size=cfg.model.image_size,
+                            batch_size=cfg.train.batch_size,
+                            batch_size_pretrain=cfg.train.batch_size_pretrain,
+                            seed=cfg.train.seed)
+    phylo = dkw.get("phylo_path") or (cfg.phylo_config if cfg.phylo_config
+                                      and os.path.exists(str(cfg.phylo_config)) else None)
+    if phylo and str(phylo).endswith((".phy", ".tre")):
+        root = build_tree_from_config(phylo, None)
+    elif cfg.phylo_config:
+        import yaml
+        with open(cfg.phylo_config) as f:
+            pc = yaml.safe_load(f)
+        d = pc.get("phyloDistances_string")
+        root = build_tree_from_config(pc["phylogeny_path"],
+                                      None if d in ("None", None) else d)
+    else:
+        root = flat_tree(loaders.classes, cfg.model.num_features or 512)
+
+    model, tree = build_pipnet(root, cfg.model,
+                               weighted=cfg.train.loss.weighted_ce,
+                               class_names=loaders.classes)
+    trainer = Trainer(model, tree, cfg, loaders, log=RunLog(args.run_dir))
+    trainer.init_state()
+    ckpt = os.path.join(args.run_dir, "checkpoints", args.checkpoint)
+    trainer.state, extra = restore_checkpoint(ckpt, trainer.state)
+    print(f"restored {ckpt}: {extra}")
+
+    leave_out = None
+    if args.leave_out_classes:
+        with open(args.leave_out_classes) as f:
+            leave_out = [line.strip() for line in f if line.strip()]
+    result = trainer.evaluate(
+        loaders.test, leave_out_classes=leave_out,
+        apply_overspecificity_mask=args.apply_overspecificity_mask,
+        path_prob_softmax_tau=args.path_prob_softmax_tau)
+
+    import numpy as np
+    w_eff = np.asarray(model.apply(
+        {"params": trainer.state.params},
+        method=lambda m: m.head.effective_cls_weight()))
+    result.update(sparsity_stats(w_eff))
+    print(json.dumps(result, indent=2, default=float))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run())

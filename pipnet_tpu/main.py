@@ -97,8 +97,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="data-parallel shards: 0 = all visible devices")
     add("--compute_dtype", type=str, default="float32",
         choices=["float32", "bfloat16"])
+    add("--fast_gelu", type=str, default="n",
+        help="(y/n) tanh-approximate GELU: faster, breaks exact torchvision parity")
     add("--eval_every", type=int, default=5)
     add("--final_viz", type=str, default="y")
+    add("--resume", action="store_true",
+        help="restore the latest net_trained checkpoint from log_dir and "
+             "continue (replaces the reference's filename-parsing resume, "
+             "main_dist.py:405-408)")
     return p
 
 
@@ -122,7 +128,8 @@ def run_pipnet(argv=None) -> int:
     cfg = from_reference_flags(args)
     cfg = dataclasses.replace(
         cfg,
-        model=dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype),
+        model=dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype,
+                                  fast_gelu=args.fast_gelu == "y"),
         train=dataclasses.replace(cfg.train, data_parallel=args.data_parallel))
 
     log = RunLog(cfg.log_dir)
@@ -195,11 +202,20 @@ def run_pipnet(argv=None) -> int:
                                                   trainer.state)
         print(f"restored full model: {extra}")
 
+    start_epoch = 0
+    if args.resume:
+        ckpt = os.path.join(log.checkpoint_dir, "net_trained")
+        if os.path.isdir(ckpt):
+            from .train.checkpoint import restore_checkpoint
+            trainer.state, extra = restore_checkpoint(ckpt, trainer.state)
+            start_epoch = int(extra.get("epoch", 0))
+            print(f"resumed from epoch {start_epoch}")
+
     if args.training_wheels == "y":
         print("training wheels: smoke run, 1 pretrain + 1 train epoch")
         result = trainer.fit(epochs=1, epochs_pretrain=1, eval_every=1)
     else:
-        result = trainer.fit(eval_every=args.eval_every)
+        result = trainer.fit(eval_every=args.eval_every, start_epoch=start_epoch)
 
     if args.final_viz == "y" and len(loaders.classes) <= 60:
         from .interp import run_projection, save_topk_gallery, topk_per_prototype

@@ -1,0 +1,170 @@
+"""Fused Pallas prototype-head kernel.
+
+The hot head computation (BASELINE.json north star) — stacked 1x1 add-on conv
+-> per-node softmax over the prototype dim per patch -> global max-pool —
+fused into one TPU kernel: per grid cell the kernel loads one image's feature
+block and one prototype-column tile into VMEM, runs the matmul on the MXU,
+normalizes per node *in registers/VMEM*, reduces the spatial max, and writes
+both the softmaxed maps and the pooled vector.  This removes the HBM
+round-trips between conv, softmax and pool that the XLA composition pays
+(z write+read ~0.7 GB/step at CUB-190 scale).
+
+Segment softmax inside a tile uses the shift-invariance of softmax: any
+per-row constant can center the exponentials, so a per-row max over the whole
+tile (one lane reduction) replaces ragged per-segment maxima; per-segment
+sums and their broadcast back are two tiny MXU matmuls against a static
+one-hot segment matrix.  Tiles are sized to whole nodes (tile width = k *
+bucket width), so segments never straddle tiles.
+
+Use via ``fused_head_forward`` (drop-in for the XLA path on matching configs:
+plain conv add-on, per-node softmax, no focal/multiply_cs).  Training uses a
+``jax.custom_vjp`` whose backward recomputes z from the residual (features,
+kernel) — no extra activation storage.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..tree.compile import TreeArrays
+
+
+def _plan_tiles(tree: TreeArrays, target: int = 512,
+                max_tile_w: int = 2048) -> Optional[list]:
+    """Per-bucket tile plan with Mosaic-legal widths.
+
+    Tile width must be node-aligned (multiple of the bucket width) AND
+    lane-aligned (multiple of 128), so it is a multiple of lcm(W, 128) —
+    e.g. W=20 -> 640.  Buckets whose lcm exceeds ``max_tile_w`` fall back to a
+    single whole-bucket tile when it fits VMEM; otherwise returns None and the
+    caller should use the XLA composition.
+    """
+    import math
+    plans = []
+    for b in tree.buckets:
+        base = math.lcm(b.width, 128)
+        if base <= max_tile_w:
+            tile_w = base * max(1, target // base)
+            nodes_per_tile = tile_w // b.width
+            n_tiles = -(-b.num_nodes // nodes_per_tile)
+        else:
+            span = b.num_nodes * b.width
+            if span % 128 != 0 or span > 4096:
+                return None
+            tile_w, nodes_per_tile, n_tiles = span, b.num_nodes, 1
+        plans.append(dict(offset=b.proto_offset, width=b.width,
+                          nodes_per_tile=nodes_per_tile, tile_w=tile_w,
+                          n_tiles=n_tiles, num_nodes=b.num_nodes))
+    return plans
+
+
+def _head_kernel(f_ref, k_ref, seg_ref, segt_ref, valid_ref, pf_ref,
+                 pooled_ref, *, tau: float):
+    """One (image, tile) cell: z = F @ K; segment softmax; spatial max-pool.
+
+    f_ref:      (1, HW, D)    features of one image
+    k_ref:      (D, TW)       kernel tile
+    seg_ref:    (TW, NPT)     one-hot segment matrix (static content)
+    segt_ref:   (NPT, TW)     its transpose (avoid in-kernel transposes)
+    valid_ref:  (1, TW)       1.0 for real prototype slots
+    pf_ref:     (1, HW, TW)   softmaxed maps out
+    pooled_ref: (1, 1, TW)    max-pooled out
+    """
+    f = f_ref[0]
+    k = k_ref[:]
+    z = jnp.dot(f, k, preferred_element_type=jnp.float32) * (1.0 / tau)
+    valid = valid_ref[0, :]
+    z = jnp.where(valid > 0, z, -1e30)
+    # shift by the per-row tile max (softmax is shift-invariant per segment)
+    c = jnp.max(z, axis=1, keepdims=True)
+    e = jnp.exp(z - c)
+    e = jnp.where(valid > 0, e, 0.0)
+    seg_sums = jnp.dot(e, seg_ref[:], preferred_element_type=jnp.float32)   # (HW, NPT)
+    denom = jnp.dot(seg_sums, segt_ref[:], preferred_element_type=jnp.float32)
+    p = e / jnp.maximum(denom, 1e-30)
+    pf_ref[0] = p.astype(pf_ref.dtype)
+    pooled_ref[0, 0, :] = jnp.max(p, axis=0).astype(pooled_ref.dtype)
+
+
+def _run_bucket(features2d: jnp.ndarray, kernel: jnp.ndarray,
+                tree: TreeArrays, plan: dict, tau: float,
+                interpret: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """features2d (B, HW, D); kernel slice for this bucket; returns
+    (pf (B, HW, TWtot), pooled (B, TWtot)) for the bucket's padded span."""
+    B, HW, D = features2d.shape
+    tw, npt, ntiles = plan["tile_w"], plan["nodes_per_tile"], plan["n_tiles"]
+    span = tw * ntiles
+    # pad the kernel slice and validity to the tile span
+    off = plan["offset"]
+    k = jax.lax.dynamic_slice_in_dim(kernel, off, min(span, kernel.shape[1] - off), axis=1)
+    if k.shape[1] < span:
+        k = jnp.pad(k, ((0, 0), (0, span - k.shape[1])))
+    valid = np.zeros((1, span), np.float32)
+    real = tree.proto_valid[off: off + min(span, tree.num_protos_padded - off)]
+    valid[0, : len(real)] = real
+    seg = np.zeros((tw, npt), np.float32)
+    for s in range(npt):
+        seg[s * plan["width"]:(s + 1) * plan["width"], s] = 1.0
+
+    grid = (B, ntiles)
+    out_shape = (jax.ShapeDtypeStruct((B, HW, span), features2d.dtype),
+                 jax.ShapeDtypeStruct((B, 1, span), jnp.float32))
+    pf, pooled = pl.pallas_call(
+        functools.partial(_head_kernel, tau=tau),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, HW, D), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((D, tw), lambda b, j: (0, j)),
+            pl.BlockSpec((tw, npt), lambda b, j: (0, 0)),
+            pl.BlockSpec((npt, tw), lambda b, j: (0, 0)),
+            pl.BlockSpec((1, tw), lambda b, j: (0, j)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, HW, tw), lambda b, j: (b, 0, j)),
+            pl.BlockSpec((1, 1, tw), lambda b, j: (b, 0, j)),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(features2d, k, jnp.asarray(seg), jnp.asarray(seg.T.copy()),
+      jnp.asarray(valid))
+    return pf, pooled[:, 0, :]
+
+
+def fused_head_forward(features: jnp.ndarray, kernel: jnp.ndarray,
+                       tree: TreeArrays, *, tau: float = 1.0,
+                       interpret: bool = False
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused conv+softmax+maxpool.
+
+    features (B, H, W, D), kernel (D, P) -> (pf (B, H, W, P), pooled (B, P)).
+    Matches ``segment_softmax(features @ kernel / ..)`` + spatial max
+    (the XLA reference composition) to ~1e-6.
+    """
+    B, H, W, D = features.shape
+    P = tree.num_protos_padded
+    f2 = features.reshape(B, H * W, D)
+    plans = _plan_tiles(tree)
+    if plans is None:
+        raise ValueError("tree layout not tileable for the fused head; use the "
+                         "XLA composition (segment_softmax) instead")
+    pf_parts, pooled_parts = [], []
+    covered = 0
+    for plan in plans:
+        pf_b, pooled_b = _run_bucket(f2, kernel, tree, plan, tau, interpret)
+        span_real = plan["num_nodes"] * plan["width"]
+        pf_parts.append(pf_b[:, :, :span_real])
+        pooled_parts.append(pooled_b[:, :span_real])
+        covered = plan["offset"] + span_real
+    pf = jnp.concatenate(pf_parts, axis=-1)
+    pooled = jnp.concatenate(pooled_parts, axis=-1)
+    if covered < P:
+        pf = jnp.pad(pf, ((0, 0), (0, 0), (0, P - covered)))
+        pooled = jnp.pad(pooled, ((0, 0), (0, P - covered)))
+    return pf.reshape(B, H, W, P), pooled

@@ -148,10 +148,15 @@ class Trainer:
     def fit(self, *, epochs: Optional[int] = None,
             epochs_pretrain: Optional[int] = None,
             eval_every: int = 5, save_every: int = 5,
-            log_prefix: str = "") -> Dict[str, float]:
+            log_prefix: str = "", start_epoch: int = 0) -> Dict[str, float]:
+        """``start_epoch > 0`` resumes phase 2 at that epoch (pretraining
+        skipped), with scheduler state recovered purely from the step counter —
+        no LR-replay hack (cf. main_dist.py:542-567)."""
         cfg = self.cfg.train
         n_pre = cfg.epochs_pretrain if epochs_pretrain is None else epochs_pretrain
         n_epochs = cfg.epochs if epochs is None else epochs
+        if start_epoch > 0:
+            n_pre = 0
         if self.state is None:
             self.init_state()
         self.log.save_config(self.cfg)
@@ -173,12 +178,13 @@ class Trainer:
                             epoch=0, phase="pretrained")
 
         # phase 2: fresh optimizer + schedulers (main.py:501-507)
-        self.state = reinit_optimizer(self.state)
-        net_t = 0
+        if start_epoch == 0:
+            self.state = reinit_optimizer(self.state)
+        net_t = start_epoch * len(self.loaders.train)
         net_T = len(self.loaders.train) * n_epochs
         ood_loader = self.ood_loaders.train if self.ood_loaders else None
         last_eval = {}
-        for epoch in range(1, n_epochs + 1):
+        for epoch in range(start_epoch + 1, n_epochs + 1):
             info = self.run_epoch(epoch, pretrain=False, net_t0=net_t, net_T=net_T,
                                   loader=self.loaders.train, ood_loader=ood_loader)
             net_t = info["net_t_end"]

@@ -172,3 +172,26 @@ class TestMIPS:
         assert len(hits) == 3 and len(hits[0]) == 4
         scores = [s for *_, s in hits[0]]
         assert scores == sorted(scores, reverse=True)
+
+
+class TestPallasHead:
+    def test_fused_matches_xla_interpret(self, tiny_root, rng):
+        """Interpret-mode Pallas kernel == XLA composition (runs anywhere)."""
+        import jax.numpy as jnp
+        from pipnet_tpu.ops import segment_softmax
+        from pipnet_tpu.ops.pallas_head import fused_head_forward
+        from pipnet_tpu.tree import compile_tree
+        for n in tiny_root.nodes_with_children():
+            n.set_num_protos(0, 10, 0, True)
+        tree = compile_tree(tiny_root, protopool=False, pad_total_to=128)
+        f = jnp.asarray(rng.standard_normal((2, 5, 5, 32)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((32, tree.num_protos_padded)),
+                        jnp.float32)
+        pf, pooled = fused_head_forward(f, k, tree, tau=0.5, interpret=True)
+        pf_ref = segment_softmax(f @ k, tree, tau=0.5)
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(pf_ref),
+                                   atol=2e-6)
+        pooled_ref = np.asarray(jnp.max(pf_ref, axis=(1, 2)))
+        valid = tree.proto_valid
+        np.testing.assert_allclose(np.asarray(pooled)[:, valid],
+                                   pooled_ref[:, valid], atol=2e-6)
