@@ -73,6 +73,7 @@ class PrototypeHead(nn.Module):
     tree: TreeArrays
     cfg: HeadConfig
     in_channels: int
+    use_pallas: bool = False      # fused Mosaic kernel for the eligible config
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -158,6 +159,20 @@ class PrototypeHead(nn.Module):
         cfg, tree = self.cfg, self.tree
         if cfg.sg_before_protos:
             features = jax.lax.stop_gradient(features)
+
+        if self.use_pallas and not apply_overspecificity_mask:
+            from ..ops.pallas_head import head_supports_fusion, make_fused_head
+            if head_supports_fusion(cfg):
+                fused = make_fused_head(tree, tau=cfg.softmax_tau)
+                pf, pooled = fused(features, self.add_on_kernel.astype(features.dtype))
+                pooled = pooled.astype(features.dtype)
+                if inference:
+                    pooled = jnp.where(pooled < cfg.inference_threshold, 0.0, pooled)
+                w = self.effective_cls_weight().astype(pooled.dtype)
+                logits = pooled @ w.T
+                if cfg.classifier_bias:
+                    logits = logits + self.cls_bias.astype(pooled.dtype)
+                return {"proto_features": pf, "pooled": pooled, "logits": logits}
 
         z = self.proto_maps(features)
         if cfg.add_on_type == "unit":

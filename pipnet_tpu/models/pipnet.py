@@ -84,7 +84,9 @@ class PIPNet(nn.Module):
             self.reducer = Stage4Reducer(self.cfg.stage4_reducer, dtype=dtype)
             channels = self.cfg.stage4_reducer[-1][1]
         self.head = PrototypeHead(tree=self.tree, cfg=self.cfg.head,
-                                  in_channels=channels, dtype=dtype)
+                                  in_channels=channels,
+                                  use_pallas=self.cfg.use_pallas_head,
+                                  dtype=dtype)
         if self.cfg.use_byol:
             from .byol import PatchMLP
             self.projector = PatchMLP(channels, dtype=dtype)

@@ -65,14 +65,14 @@ def _plan_tiles(tree: TreeArrays, target: int = 512,
     return plans
 
 
-def _head_kernel(f_ref, k_ref, seg_ref, segt_ref, valid_ref, pf_ref,
+def _head_kernel(f_ref, k_ref, bd_ref, valid_ref, pf_ref,
                  pooled_ref, *, tau: float):
     """One (image, tile) cell: z = F @ K; segment softmax; spatial max-pool.
 
     f_ref:      (1, HW, D)    features of one image
     k_ref:      (D, TW)       kernel tile
-    seg_ref:    (TW, NPT)     one-hot segment matrix (static content)
-    segt_ref:   (NPT, TW)     its transpose (avoid in-kernel transposes)
+    bd_ref:     (TW, TW)      block-diagonal segment broadcast matrix
+                              (bd[i,j] = 1 iff i,j share a node)
     valid_ref:  (1, TW)       1.0 for real prototype slots
     pf_ref:     (1, HW, TW)   softmaxed maps out
     pooled_ref: (1, 1, TW)    max-pooled out
@@ -86,9 +86,10 @@ def _head_kernel(f_ref, k_ref, seg_ref, segt_ref, valid_ref, pf_ref,
     c = jnp.max(z, axis=1, keepdims=True)
     e = jnp.exp(z - c)
     e = jnp.where(valid > 0, e, 0.0)
-    seg_sums = jnp.dot(e, seg_ref[:], preferred_element_type=jnp.float32)   # (HW, NPT)
-    denom = jnp.dot(seg_sums, segt_ref[:], preferred_element_type=jnp.float32)
-    p = e / jnp.maximum(denom, 1e-30)
+    # per-segment sums broadcast back to columns: one matmul against the
+    # static block-diagonal ones matrix
+    denom = jnp.dot(e, bd_ref[:], preferred_element_type=jnp.float32)
+    p = e / jnp.maximum(denom, 1e-18)
     pf_ref[0] = p.astype(pf_ref.dtype)
     pooled_ref[0, 0, :] = jnp.max(p, axis=0).astype(pooled_ref.dtype)
 
@@ -109,9 +110,10 @@ def _run_bucket(features2d: jnp.ndarray, kernel: jnp.ndarray,
     valid = np.zeros((1, span), np.float32)
     real = tree.proto_valid[off: off + min(span, tree.num_protos_padded - off)]
     valid[0, : len(real)] = real
-    seg = np.zeros((tw, npt), np.float32)
+    bd = np.zeros((tw, tw), np.float32)
     for s in range(npt):
-        seg[s * plan["width"]:(s + 1) * plan["width"], s] = 1.0
+        lo, hi = s * plan["width"], (s + 1) * plan["width"]
+        bd[lo:hi, lo:hi] = 1.0
 
     grid = (B, ntiles)
     out_shape = (jax.ShapeDtypeStruct((B, HW, span), features2d.dtype),
@@ -122,8 +124,7 @@ def _run_bucket(features2d: jnp.ndarray, kernel: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, HW, D), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((D, tw), lambda b, j: (0, j)),
-            pl.BlockSpec((tw, npt), lambda b, j: (0, 0)),
-            pl.BlockSpec((npt, tw), lambda b, j: (0, 0)),
+            pl.BlockSpec((tw, tw), lambda b, j: (0, 0)),
             pl.BlockSpec((1, tw), lambda b, j: (0, j)),
         ],
         out_specs=(
@@ -132,8 +133,7 @@ def _run_bucket(features2d: jnp.ndarray, kernel: jnp.ndarray,
         ),
         out_shape=out_shape,
         interpret=interpret,
-    )(features2d, k, jnp.asarray(seg), jnp.asarray(seg.T.copy()),
-      jnp.asarray(valid))
+    )(features2d, k, jnp.asarray(bd), jnp.asarray(valid))
     return pf, pooled[:, 0, :]
 
 
@@ -168,3 +168,63 @@ def fused_head_forward(features: jnp.ndarray, kernel: jnp.ndarray,
         pf = jnp.pad(pf, ((0, 0), (0, 0), (0, P - covered)))
         pooled = jnp.pad(pooled, ((0, 0), (0, P - covered)))
     return pf.reshape(B, H, W, P), pooled
+
+
+# ---------------------------------------------------------------------------
+# training-ready wrapper: fused Pallas forward + analytic XLA backward
+# ---------------------------------------------------------------------------
+
+def make_fused_head(tree: TreeArrays, tau: float = 1.0):
+    """Returns fused(features, kernel) -> (pf, pooled) with a custom VJP.
+
+    Forward runs the fused Mosaic kernel; backward is the analytic softmax /
+    max-pool adjoint in plain XLA using the kernel's own outputs as residuals
+    (no extra activation storage):
+
+        g_tot = g_pf + route(g_pooled to spatial argmax, ties split evenly)
+        dz    = p * (g_tot - broadcast_seg(sum_seg(g_tot * p))) / tau
+        dF    = dz @ K^T ;  dK = F^T @ dz
+    """
+    from .segment import _node_onehot
+
+    onehot = _node_onehot(tree)
+
+    @jax.custom_vjp
+    def fused(features, kernel):
+        return fused_head_forward(features, kernel, tree, tau=tau)
+
+    def fwd(features, kernel):
+        pf, pooled = fused_head_forward(features, kernel, tree, tau=tau)
+        return (pf, pooled), (features, kernel, pf, pooled)
+
+    def bwd(res, cts):
+        features, kernel, pf, pooled = res
+        g_pf, g_pooled = cts
+        B, H, W, P = pf.shape
+        pf32 = pf.astype(jnp.float32)
+        # route the pooled cotangent to the spatial argmax (ties split evenly,
+        # matching jnp.max's VJP)
+        is_max = (pf32 == pooled[:, None, None, :]).astype(jnp.float32)
+        counts = jnp.maximum(is_max.sum(axis=(1, 2), keepdims=True), 1.0)
+        g_tot = g_pf.astype(jnp.float32) + is_max / counts * g_pooled[:, None, None, :]
+        # segment softmax adjoint
+        inner = (g_tot * pf32) @ jnp.asarray(onehot)            # (B,H,W,N)
+        dz = pf32 * (g_tot - inner @ jnp.asarray(onehot.T)) * (1.0 / tau)
+        dz = dz.astype(features.dtype)
+        f2 = features.reshape(-1, features.shape[-1])
+        dz2 = dz.reshape(-1, P)
+        dF = (dz2 @ kernel.T).reshape(features.shape)
+        dK = f2.T @ dz2
+        return dF, dK.astype(kernel.dtype)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def head_supports_fusion(cfg) -> bool:
+    """The fused kernel covers the flagship head semantics: plain conv add-on
+    with per-node temperature softmax (no bias/focal/cosine/gumbel variants)."""
+    return (cfg.add_on_type == "conv" and not cfg.add_on_bias
+            and cfg.softmax_tau is not None and not cfg.softmax_over_channel
+            and not cfg.multiply_cs_softmax and not cfg.gumbel_softmax
+            and not cfg.focal)

@@ -12,6 +12,7 @@ All functions take ``x[..., P]`` with the prototype axis minor-most.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import jax
@@ -39,7 +40,8 @@ def _valid_mask(tree: TreeArrays, bucket) -> np.ndarray:
 
 def segment_softmax(x: jnp.ndarray, tree: TreeArrays, tau: float = 1.0,
                     gumbel_rng: Optional[jax.Array] = None,
-                    gumbel_tau: float = 1.0) -> jnp.ndarray:
+                    gumbel_tau: float = 1.0,
+                    method: str = "matmul") -> jnp.ndarray:
     """Per-node softmax over the prototype axis, per patch.
 
     Matches ``softmax(proto_features / tau, dim=1)`` applied per node
@@ -47,17 +49,47 @@ def segment_softmax(x: jnp.ndarray, tree: TreeArrays, tau: float = 1.0,
     With ``gumbel_rng``, adds Gumbel noise before the (temperature
     ``gumbel_tau``) softmax — the soft ``F.gumbel_softmax`` variant
     (ref pipnet/pipnet.py:43-51,150-152).
+
+    ``method='matmul'`` (default, MXU-friendly): exploit softmax's per-segment
+    shift invariance — center by the per-patch row max over ALL prototypes
+    (one lane reduction), then per-segment sums and their broadcast-back are
+    two matmuls against the static (P, N) node one-hot.  No ragged reshapes,
+    tiny HLO, exact same math (exponentials of far-below-max segments can
+    underflow f32 below ~e^-80; irrelevant at practical activation ranges).
+    ``method='bucketed'``: per-bucket reshape + per-segment max (the fully
+    range-robust fallback).
     """
+    if gumbel_rng is not None:
+        g = jax.random.gumbel(gumbel_rng, x.shape, dtype=x.dtype)
+        x = (x + g) / gumbel_tau
+        tau = 1.0
+
+    if method == "matmul":
+        onehot = _node_onehot(tree)                                  # (P, N) numpy
+        validf = tree.proto_valid.astype(np.float32)
+        z = (x.astype(jnp.float32)) / tau
+        # true per-segment max via the (cheap) bucketed reduce, broadcast back
+        # to slots with a one-hot matmul.  Softmax is invariant to ANY
+        # per-segment constant, so bf16 rounding inside that matmul cancels
+        # exactly; z - max stays in a tame range (no huge/tiny operands, which
+        # both lose precision and have shown miscompiles on this platform).
+        m = segment_max_to_nodes(z, tree, fill=-jnp.inf)             # (..., N)
+        c = m @ jnp.asarray(onehot.T)                                # (..., P)
+        # clip both sides: valid slots sit in (-inf, ~0] after the shift; the
+        # padded tail has c=0 and raw z, whose exp must stay finite before the
+        # validity mask zeroes it (inf * 0 = nan)
+        e = jnp.exp(jnp.clip(z - c, -80.0, 60.0)) * validf
+        seg_sums = e @ jnp.asarray(onehot)                           # (..., N)
+        denom = seg_sums @ jnp.asarray(onehot.T)                     # (..., P)
+        # floor must be sqrt-of-f32-min safe: the division VJP computes x/y^2,
+        # and (1e-30)^2 underflows f32 to 0 -> 0/0 NaN in gradients
+        p = e / jnp.maximum(denom, 1e-18)
+        return p.astype(x.dtype)
+
     out_parts: List[jnp.ndarray] = []
     for b, view in _bucket_views(x, tree):
         valid = _valid_mask(tree, b)
-        z = view
-        if gumbel_rng is not None:
-            key = jax.random.fold_in(gumbel_rng, b.proto_offset)
-            g = jax.random.gumbel(key, view.shape, dtype=view.dtype)
-            z = (z + g) / gumbel_tau
-        else:
-            z = z / tau
+        z = view / tau
         z = jnp.where(valid, z, -jnp.inf)
         p = jax.nn.softmax(z, axis=-1)
         p = jnp.where(valid, p, 0.0)
@@ -67,6 +99,21 @@ def segment_softmax(x: jnp.ndarray, tree: TreeArrays, tau: float = 1.0,
     if tail:
         out = jnp.concatenate([out, jnp.zeros((*x.shape[:-1], tail), out.dtype)], axis=-1)
     return out
+
+
+def _node_onehot(tree: TreeArrays) -> np.ndarray:
+    # cached on the TreeArrays instance as NUMPY (a jnp array created inside a
+    # jit trace would leak a tracer; an id()-keyed global cache would be wrong
+    # because ids are reused after garbage collection)
+    cached = getattr(tree, "_node_onehot_cache", None)
+    if cached is None:
+        onehot = np.zeros((tree.num_protos_padded, tree.num_nodes), np.float32)
+        pn = np.clip(tree.proto_node, 0, tree.num_nodes - 1)
+        onehot[np.arange(tree.num_protos_padded), pn] = (
+            tree.proto_node >= 0).astype(np.float32)
+        object.__setattr__(tree, "_node_onehot_cache", onehot)
+        cached = onehot
+    return cached
 
 
 def segment_hard_gumbel(logits2: jnp.ndarray, rng: jax.Array, tau: float = 0.5) -> jnp.ndarray:

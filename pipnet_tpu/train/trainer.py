@@ -184,6 +184,7 @@ class Trainer:
         net_T = len(self.loaders.train) * n_epochs
         ood_loader = self.ood_loaders.train if self.ood_loaders else None
         last_eval = {}
+        info = {}   # stays empty when resuming an already-finished run
         for epoch in range(start_epoch + 1, n_epochs + 1):
             info = self.run_epoch(epoch, pretrain=False, net_t0=net_t, net_T=net_T,
                                   loader=self.loaders.train, ood_loader=ood_loader)
@@ -204,7 +205,7 @@ class Trainer:
                                 self.state, epoch=epoch, phase="train")
         save_checkpoint(self.log.checkpoint_dir, "net_trained_last", self.state,
                         epoch=n_epochs, phase="train")
-        return {"train": info if n_epochs else {}, "eval": last_eval}
+        return {"train": info, "eval": last_eval}
 
     # -- eval ----------------------------------------------------------------
     def evaluate(self, loader: Loader, *, leave_out_classes=None,
