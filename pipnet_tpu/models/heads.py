@@ -182,7 +182,8 @@ class PrototypeHead(nn.Module):
             if cfg.softmax_over_channel:
                 pf = spatial_softmax(z)
             else:
-                pf = segment_softmax(z, tree, tau=cfg.softmax_tau)
+                pf = segment_softmax(z, tree, tau=cfg.softmax_tau,
+                                     precise=self.dtype == jnp.float32)
         elif cfg.gumbel_softmax:
             pf = segment_softmax(z, tree, gumbel_rng=gumbel_rng, gumbel_tau=cfg.gumbel_tau)
         else:

@@ -41,7 +41,8 @@ def _valid_mask(tree: TreeArrays, bucket) -> np.ndarray:
 def segment_softmax(x: jnp.ndarray, tree: TreeArrays, tau: float = 1.0,
                     gumbel_rng: Optional[jax.Array] = None,
                     gumbel_tau: float = 1.0,
-                    method: str = "matmul") -> jnp.ndarray:
+                    method: str = "matmul",
+                    precise: bool = True) -> jnp.ndarray:
     """Per-node softmax over the prototype axis, per patch.
 
     Matches ``softmax(proto_features / tau, dim=1)`` applied per node
@@ -66,21 +67,28 @@ def segment_softmax(x: jnp.ndarray, tree: TreeArrays, tau: float = 1.0,
 
     if method == "matmul":
         onehot = _node_onehot(tree)                                  # (P, N) numpy
-        validf = tree.proto_valid.astype(np.float32)
-        z = (x.astype(jnp.float32)) / tau
-        # true per-segment max via the (cheap) bucketed reduce, broadcast back
-        # to slots with a one-hot matmul.  Softmax is invariant to ANY
-        # per-segment constant, so bf16 rounding inside that matmul cancels
-        # exactly; z - max stays in a tame range (no huge/tiny operands, which
-        # both lose precision and have shown miscompiles on this platform).
+        # precise=True: f32 end-to-end with HIGHEST-precision normalization
+        # matmuls (the parity target is <=1e-4).  precise=False: keep the
+        # input dtype (bf16 training) — HBM traffic halves and ~0.4% bf16
+        # rounding is far below gradient noise.
+        ct = jnp.float32 if precise else x.dtype
+        prec = jax.lax.Precision.HIGHEST if precise else None
+        z = x.astype(ct) / tau
+        # true per-segment max via the bucketed reduce, broadcast back with a
+        # one-hot matmul.  The shift is pure numerical centering: softmax is
+        # invariant to any per-segment constant and the shift's gradient
+        # contribution cancels exactly, so stop_gradient(c) is exact and skips
+        # the max/reshape backward entirely.
         m = segment_max_to_nodes(z, tree, fill=-jnp.inf)             # (..., N)
-        c = m @ jnp.asarray(onehot.T)                                # (..., P)
+        c = jax.lax.stop_gradient(
+            jnp.matmul(m, jnp.asarray(onehot.T, ct), precision=prec))
         # clip both sides: valid slots sit in (-inf, ~0] after the shift; the
         # padded tail has c=0 and raw z, whose exp must stay finite before the
         # validity mask zeroes it (inf * 0 = nan)
-        e = jnp.exp(jnp.clip(z - c, -80.0, 60.0)) * validf
-        seg_sums = e @ jnp.asarray(onehot)                           # (..., N)
-        denom = seg_sums @ jnp.asarray(onehot.T)                     # (..., P)
+        e = jnp.exp(jnp.clip(z - c, -80.0, 60.0)) * jnp.asarray(
+            tree.proto_valid.astype(np.float32), ct)
+        seg_sums = jnp.matmul(e, jnp.asarray(onehot, ct), precision=prec)
+        denom = jnp.matmul(seg_sums, jnp.asarray(onehot.T, ct), precision=prec)
         # floor must be sqrt-of-f32-min safe: the division VJP computes x/y^2,
         # and (1e-30)^2 underflows f32 to 0 -> 0/0 NaN in gradients
         p = e / jnp.maximum(denom, 1e-18)
