@@ -43,7 +43,7 @@ def main():
     mcfg = ModelConfig(backbone="convnext_tiny_26", image_size=image_size,
                        num_protos_per_child=10,
                        head=HeadConfig(softmax_tau=1.0, protopool=False),
-                       compute_dtype="bfloat16", fast_gelu=True)
+                       compute_dtype="bfloat16", fast_gelu=True, use_pallas_head=True)
     model, tree = build_pipnet(root, mcfg, weighted=True)
 
     cfg = RunConfig(

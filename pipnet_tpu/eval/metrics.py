@@ -90,3 +90,18 @@ def fpr95_threshold(scores: np.ndarray, ys: np.ndarray) -> float:
     if len(correct_scores) == 0:
         return 0.0
     return float(np.quantile(correct_scores, 0.05))
+
+
+def degenerate_nodes_from_mask(tree, w_eff: np.ndarray,
+                               presence_keep: np.ndarray,
+                               threshold: float = 1e-3) -> np.ndarray:
+    """(N,) bool: node has a child class whose masked classifier row keeps no
+    prototype above ``threshold`` (ref util/node.py:336-347: such nodes fall
+    back to leaf-count priors in the joint distribution)."""
+    masked = w_eff * presence_keep[None, :]
+    out = np.zeros(tree.num_nodes, bool)
+    for ni in range(tree.num_nodes):
+        cs = tree.node_child_slice(ni)
+        rows = masked[cs]
+        out[ni] = bool((rows.max(axis=1) <= threshold).any())
+    return out

@@ -94,3 +94,30 @@ def adversarial_attack(model: PIPNet, params, batch_stats, x_norm: jnp.ndarray,
     peak = int(jnp.argmax(act_adv))
     moved = bool(np.asarray(mask)[peak // W, peak % W])
     return moved, np.asarray(adv)
+
+
+def integrated_gradients_patch(model: PIPNet, params, batch_stats,
+                               x_norm: jnp.ndarray, proto_idx: int,
+                               *, num_steps: int = 50):
+    """Integrated-gradients localization of the image region responsible for a
+    prototype's pooled activation (counterpart of
+    plot_proto_activations_using_gradients.py:152-211): IG of pooled[p] from a
+    black baseline, attribution summed over channels -> (H, W) saliency."""
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+
+    def pooled_p(img):
+        out = model.apply(variables, img[None])
+        return out["pooled"][0, proto_idx]
+
+    grad_fn = jax.grad(pooled_p)
+    baseline = jnp.zeros_like(x_norm)
+
+    def body(i, acc):
+        alpha = (i + 0.5) / num_steps
+        return acc + grad_fn(baseline + alpha * (x_norm - baseline))
+
+    total = jax.lax.fori_loop(0, num_steps, body, jnp.zeros_like(x_norm))
+    ig = (x_norm - baseline) * total / num_steps
+    return jnp.abs(ig).sum(axis=-1)            # (H, W) saliency

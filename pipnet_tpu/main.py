@@ -99,6 +99,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
         choices=["float32", "bfloat16"])
     add("--fast_gelu", type=str, default="n",
         help="(y/n) tanh-approximate GELU: faster, breaks exact torchvision parity")
+    add("--use_pallas_head", type=str, default="n",
+        help="(y/n) fused Mosaic prototype-head kernel (eligible configs only)")
     add("--eval_every", type=int, default=5)
     add("--final_viz", type=str, default="y")
     add("--resume", action="store_true",
@@ -129,7 +131,8 @@ def run_pipnet(argv=None) -> int:
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype,
-                                  fast_gelu=args.fast_gelu == "y"),
+                                  fast_gelu=args.fast_gelu == "y",
+                                  use_pallas_head=args.use_pallas_head == "y"),
         train=dataclasses.replace(cfg.train, data_parallel=args.data_parallel))
 
     log = RunLog(cfg.log_dir)

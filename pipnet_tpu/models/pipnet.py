@@ -130,7 +130,8 @@ class PIPNet(nn.Module):
 # ----------------------------------------------------------------------------
 
 def joint_leaf_log_distribution(logits: jnp.ndarray, tree: TreeArrays,
-                                softmax_tau: float = 1.0) -> jnp.ndarray:
+                                softmax_tau: float = 1.0,
+                                degenerate_nodes=None) -> jnp.ndarray:
     """Log joint distribution over the fine classes.
 
     Vectorized form of the reference's recursive
@@ -145,6 +146,11 @@ def joint_leaf_log_distribution(logits: jnp.ndarray, tree: TreeArrays,
     The output is ordered by sorted class name — identical to the reference's
     post-hoc ``argsort(names)`` (``pipnet/pipnet.py:179-181``) because our
     class indices are already name-sorted.
+
+    ``degenerate_nodes`` is an optional (N,) bool: nodes whose (masked)
+    classifier has a child with no surviving prototypes fall back to
+    leaf-count priors for their child distribution
+    (ref util/node.py:336-361, the apply_overspecificity_mask path).
     """
     B, C = logits.shape
     N = tree.num_nodes
@@ -159,6 +165,17 @@ def joint_leaf_log_distribution(logits: jnp.ndarray, tree: TreeArrays,
     zc = z[:, jnp.asarray(np.clip(cols, 0, C - 1))]                   # (B, N, Cmax)
     zc = jnp.where(valid[None], zc, -jnp.inf)
     logp_children = jax.nn.log_softmax(zc, axis=-1)                   # (B, N, Cmax)
+
+    if degenerate_nodes is not None:
+        # leaf-count prior per child column, dense (N, Cmax)
+        prior = np.zeros((N, tree.max_children), np.float32)
+        for ni in range(N):
+            cn = int(tree.node_num_children[ni])
+            counts = tree.child_num_leaves[
+                tree.node_child_offset[ni]: tree.node_child_offset[ni] + cn]
+            prior[ni, :cn] = np.log(counts / counts.sum())
+        deg = jnp.asarray(degenerate_nodes).reshape(1, N, 1)
+        logp_children = jnp.where(deg, jnp.asarray(prior)[None], logp_children)
 
     slot = jnp.asarray(np.where(tree.leaf_child_slot >= 0, tree.leaf_child_slot, 0))  # (L, N)
     under = jnp.asarray(tree.leaf_under_node)                          # (L, N)

@@ -160,3 +160,31 @@ class TestJointDistribution:
         got = np.asarray(joint_leaf_distribution(jnp.asarray(logits), tree))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+
+
+class TestDegenerateFallback:
+    def test_leaf_count_prior(self, tiny_root, rng):
+        """Degenerate nodes fall back to leaf-count priors
+        (ref util/node.py:336-361)."""
+        from pipnet_tpu.models import joint_leaf_log_distribution
+        from pipnet_tpu.tree import compile_tree
+        for node in tiny_root.nodes_with_children():
+            node.set_num_protos(0, 4, 0, True)
+        tree = compile_tree(tiny_root, protopool=False, pad_total_to=8)
+        logits = rng.standard_normal((2, tree.num_children_total)).astype(np.float32)
+        deg = np.zeros(tree.num_nodes, bool)
+        ni = tree.node_index("001+003")     # children: 2 and 1 leaves
+        deg[ni] = True
+        logp = np.asarray(joint_leaf_log_distribution(
+            jnp.asarray(logits), tree, degenerate_nodes=deg))
+        p = np.exp(logp)
+        np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-5)
+        # ratio of the two children's subtree masses == leaf-count ratio 2:1
+        cs = tree.node_child_slice(ni)
+        leaf_sets = []
+        for col in range(cs.start, cs.stop):
+            leaf_sets.append(np.nonzero(tree.child_leaf_matrix[:, col])[0])
+        m0 = p[:, leaf_sets[0]].sum(-1)
+        m1 = p[:, leaf_sets[1]].sum(-1)
+        np.testing.assert_allclose(m0 / m1, len(leaf_sets[0]) / len(leaf_sets[1]),
+                                   rtol=1e-4)
