@@ -19,6 +19,9 @@ A100_BASELINE_IMG_PER_SEC = 300.0
 
 def main():
     import jax
+
+    from pipnet_tpu.runtime.profiling import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from pipnet_tpu.config import (HeadConfig, LossConfig, ModelConfig,

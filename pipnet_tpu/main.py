@@ -135,6 +135,9 @@ def run_pipnet(argv=None) -> int:
                                   use_pallas_head=args.use_pallas_head == "y"),
         train=dataclasses.replace(cfg.train, data_parallel=args.data_parallel))
 
+    from .runtime.profiling import enable_compilation_cache
+    enable_compilation_cache()
+
     log = RunLog(cfg.log_dir)
     sys.stdout = Tee(os.path.join(cfg.log_dir, "out.txt"), sys.stdout)
     print(f"pipnet_tpu: devices={jax.devices()}")

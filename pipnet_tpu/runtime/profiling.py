@@ -64,3 +64,14 @@ class StepTimer:
         return {"steps": self._steps, "images_per_sec": ips,
                 "images_per_sec_per_chip": ips / self.num_chips,
                 "steps_per_sec": (self._steps - self.warmup_steps) / max(dt, 1e-9)}
+
+
+def enable_compilation_cache(path: str = "~/.cache/pipnet_tpu_xla") -> str:
+    """Persistent XLA compilation cache: repeat invocations of bench/train
+    skip the multi-minute TPU compiles."""
+    import os
+    path = os.path.expanduser(path)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path

@@ -128,3 +128,13 @@ def test_prefetch_thread(synth):
     loader = Loader(ds, batch_size=4, seed=7, prefetch=2)
     batches = list(loader.epoch(0))
     assert len(batches) == len(loader)
+
+
+def test_native_preprocess_matches_numpy():
+    """The C++ normalizer is bit-compatible with the numpy path."""
+    from pipnet_tpu.native import IMAGENET_MEAN, IMAGENET_STD, build, normalize_u8
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+    out = normalize_u8(img)
+    want = (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(out, want, atol=1e-6)

@@ -211,3 +211,43 @@ class TestBYOL:
                          state.byol["target_projector"],
                          new_state.byol["target_projector"])
         assert max(jax.tree.leaves(d)) > 0
+
+
+class TestDataParallelDeterminism:
+    def test_1chip_vs_8chip_loss(self, tiny_root):
+        """Same global batch, 1 vs 8 data-parallel shards -> same loss
+        (SURVEY build step 6's determinism check; replaces DDP debugging)."""
+        import dataclasses
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from pipnet_tpu.train import (Scalars, StepStatics, init_train_state,
+                                      make_train_step, phase_for_epoch)
+        mcfg = ModelConfig(backbone="convnext_tiny_26", image_size=48,
+                           num_protos_per_child=4,
+                           head=HeadConfig(softmax_tau=1.0, protopool=False))
+        model, tree = build_pipnet(tiny_root, mcfg)
+        cfg = RunConfig(model=mcfg, train=TrainConfig(
+            batch_size=8, optim=OptimConfig(),
+            loss=LossConfig(align=True, uni=False, tanh_desc=True,
+                            weighted_ce=False)))
+        phase = phase_for_epoch(12, cfg.train, pretrain=False)
+        step = make_train_step(model, tree, cfg,
+                               StepStatics(phase=phase, eta_min_net=5e-6))
+        rng = np.random.default_rng(5)
+        xs1 = rng.standard_normal((8, 48, 48, 3)).astype(np.float32)
+        xs2 = rng.standard_normal((8, 48, 48, 3)).astype(np.float32)
+        ys = rng.integers(0, tree.num_classes, 8)
+        sc = Scalars(net_t=jnp.float32(0), net_T=jnp.float32(10),
+                     epoch_frac=jnp.float32(0), align_pf_weight=jnp.float32(5.0),
+                     tanh_weight=jnp.float32(2.0), epoch=jnp.float32(12))
+        losses = {}
+        for n_dev in (1, 8):
+            mesh = Mesh(np.asarray(jax.devices()[:n_dev]), axis_names=("data",))
+            bsh = NamedSharding(mesh, P("data"))
+            state = init_train_state(model, jax.random.PRNGKey(0),
+                                     jnp.zeros((2, 48, 48, 3)))
+            jstep = jax.jit(step)
+            _, m = jstep(state,
+                         jax.device_put(xs1, bsh), jax.device_put(xs2, bsh),
+                         jax.device_put(ys, bsh), sc)
+            losses[n_dev] = float(np.asarray(m["loss"]))
+        assert losses[1] == pytest.approx(losses[8], rel=1e-4), losses
