@@ -44,6 +44,7 @@ class ModelConfig:
     pretrained_backbone_path: Optional[str] = None
     compute_dtype: str = "float32"       # float32 | bfloat16
     use_pallas_head: bool = False
+    use_pallas_backbone: bool = False    # fused ConvNeXt block kernel
     use_byol: bool = False               # add patch-level BYOL projector/predictor
     fast_gelu: bool = False              # tanh-approx GELU (perf mode; exact erf = parity)
     stage4_reducer: Tuple[Tuple[int, int, bool], ...] = ()   # (in, out, gelu) stack

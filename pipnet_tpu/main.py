@@ -101,6 +101,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="(y/n) tanh-approximate GELU: faster, breaks exact torchvision parity")
     add("--use_pallas_head", type=str, default="n",
         help="(y/n) fused Mosaic prototype-head kernel (eligible configs only)")
+    add("--use_pallas_backbone", type=str, default="n",
+        help="(y/n) fused Mosaic ConvNeXt-block kernel")
     add("--eval_every", type=int, default=5)
     add("--final_viz", type=str, default="y")
     add("--resume", action="store_true",
@@ -132,7 +134,8 @@ def run_pipnet(argv=None) -> int:
         cfg,
         model=dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype,
                                   fast_gelu=args.fast_gelu == "y",
-                                  use_pallas_head=args.use_pallas_head == "y"),
+                                  use_pallas_head=args.use_pallas_head == "y",
+                                  use_pallas_backbone=args.use_pallas_backbone == "y"),
         train=dataclasses.replace(cfg.train, data_parallel=args.data_parallel))
 
     from .runtime.profiling import enable_compilation_cache

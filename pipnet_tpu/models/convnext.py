@@ -64,33 +64,56 @@ class CNBlock(nn.Module):
     sd_prob: float = 0.0
     gaussian_multiplier: Optional[Tuple[float, float]] = None
     fast_gelu: bool = False      # tanh-approximate GELU (erf exact = torchvision parity)
+    use_pallas: bool = False     # fused in-VMEM branch kernel (ops/pallas_convnext.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         residual = x
+        dim = self.dim
+        kernel = self.param("dwconv_kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 1, dim))
+        dw_bias = self.param("dwconv_bias", nn.initializers.zeros, (dim,))
+        ln_scale = self.param("norm_scale", nn.initializers.ones, (dim,))
+        ln_bias = self.param("norm_bias", nn.initializers.zeros, (dim,))
+        w1 = self.param("mlp_in_kernel", nn.initializers.lecun_normal(), (dim, 4 * dim))
+        b1 = self.param("mlp_in_bias", nn.initializers.zeros, (4 * dim,))
+        w2 = self.param("mlp_out_kernel", nn.initializers.lecun_normal(), (4 * dim, dim))
+        b2 = self.param("mlp_out_bias", nn.initializers.zeros, (dim,))
+        scale = self.param("layer_scale", nn.initializers.constant(1e-6), (dim,))
+
+        dt = self.dtype
+        cast = lambda a: a.astype(dt)
+        xd = cast(x)
         if self.gaussian_multiplier is not None:
             sigma, factor = self.gaussian_multiplier
-            kernel = self.param("dwconv_kernel", nn.initializers.lecun_normal(),
-                                (7, 7, 1, self.dim))
-            bias = self.param("dwconv_bias", nn.initializers.zeros, (self.dim,))
             g = gaussian_window(7, sigma)[:, :, None, None] * factor
-            k = jax.lax.stop_gradient(kernel) * g.astype(kernel.dtype)
-            h = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), k.astype(self.dtype), (1, 1),
-                [(3, 3), (3, 3)], feature_group_count=self.dim,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            h = h + jax.lax.stop_gradient(bias).astype(h.dtype)
+            dw_k = jax.lax.stop_gradient(kernel) * g.astype(kernel.dtype)
+            dw_b = jax.lax.stop_gradient(dw_bias)
         else:
-            h = nn.Conv(self.dim, kernel_size=(7, 7), padding=3,
-                        feature_group_count=self.dim, dtype=self.dtype,
-                        name="dwconv")(x)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(h)
-        h = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_in")(h)
-        h = jax.nn.gelu(h, approximate=self.fast_gelu)
-        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_out")(h)
-        scale = self.param("layer_scale", nn.initializers.constant(1e-6), (self.dim,))
-        h = h * scale.astype(h.dtype)
+            dw_k, dw_b = kernel, dw_bias
+
+        if self.use_pallas and self.gaussian_multiplier is None:
+            from ..ops.pallas_convnext import make_fused_cnblock
+            fused = make_fused_cnblock(fast_gelu=self.fast_gelu)
+            h = fused(xd, cast(dw_k[:, :, 0, :]), cast(dw_b), cast(ln_scale),
+                      cast(ln_bias), cast(w1), cast(b1), cast(w2), cast(b2),
+                      cast(scale))
+        else:
+            h = jax.lax.conv_general_dilated(
+                xd, cast(dw_k), (1, 1), [(3, 3), (3, 3)],
+                feature_group_count=dim,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            h = h + cast(dw_b)
+            h32 = h.astype(jnp.float32)
+            mu = h32.mean(-1, keepdims=True)
+            var = ((h32 - mu) ** 2).mean(-1, keepdims=True)
+            h = ((h32 - mu) * jax.lax.rsqrt(var + 1e-6)).astype(dt)
+            h = h * cast(ln_scale) + cast(ln_bias)
+            h = jax.nn.gelu(h @ cast(w1) + cast(b1), approximate=self.fast_gelu)
+            h = h @ cast(w2) + cast(b2)
+            h = h * cast(scale)
+
         if train and self.sd_prob > 0.0:
             rng = self.make_rng("droppath")
             keep = 1.0 - self.sd_prob
@@ -116,6 +139,7 @@ class ConvNeXtTiny(nn.Module):
     gaussian_sigma: float = 1.0
     gaussian_factor: float = 50.0
     fast_gelu: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -145,7 +169,8 @@ class ConvNeXtTiny(nn.Module):
             for blk in range(depth):
                 sd = self.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
                 x = CNBlock(dim, sd_prob=sd, gaussian_multiplier=gm,
-                            fast_gelu=self.fast_gelu, dtype=self.dtype,
+                            fast_gelu=self.fast_gelu, use_pallas=self.use_pallas,
+                            dtype=self.dtype,
                             name=f"stage{stage}_block{blk}")(x, train=train)
                 block_id += 1
         return x

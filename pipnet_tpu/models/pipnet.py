@@ -77,7 +77,8 @@ class PIPNet(nn.Module):
                                  gaussian_factor=self.cfg.gaussian_factor,
                                  fast_gelu=self.cfg.fast_gelu)
         elif self.cfg.backbone.startswith("convnext"):
-            self.backbone = ctor(dtype=dtype, fast_gelu=self.cfg.fast_gelu)
+            self.backbone = ctor(dtype=dtype, fast_gelu=self.cfg.fast_gelu,
+                                 use_pallas=self.cfg.use_pallas_backbone)
         else:
             self.backbone = ctor(dtype=dtype)
         if self.cfg.stage4_reducer:

@@ -80,14 +80,14 @@ def convert_convnext_tiny(sd: Mapping[str, Any], prefix: str = "") -> Dict[str, 
             b = f"{p}features.{feat_idx}.{blk}.block."
             # torchvision CNBlock: 0=dwconv, 2=LayerNorm, 3=Linear, 5=Linear
             out[f"stage{stage}_block{blk}"] = {
-                "dwconv": {"kernel": conv_w(sd[b + "0.weight"]),
-                           "bias": _t(sd[b + "0.bias"])},
-                "norm": {"scale": _t(sd[b + "2.weight"]),
-                         "bias": _t(sd[b + "2.bias"])},
-                "mlp_in": {"kernel": dense_w(sd[b + "3.weight"]),
-                           "bias": _t(sd[b + "3.bias"])},
-                "mlp_out": {"kernel": dense_w(sd[b + "5.weight"]),
-                            "bias": _t(sd[b + "5.bias"])},
+                "dwconv_kernel": conv_w(sd[b + "0.weight"]),
+                "dwconv_bias": _t(sd[b + "0.bias"]),
+                "norm_scale": _t(sd[b + "2.weight"]),
+                "norm_bias": _t(sd[b + "2.bias"]),
+                "mlp_in_kernel": dense_w(sd[b + "3.weight"]),
+                "mlp_in_bias": _t(sd[b + "3.bias"]),
+                "mlp_out_kernel": dense_w(sd[b + "5.weight"]),
+                "mlp_out_bias": _t(sd[b + "5.bias"]),
                 "layer_scale": _t(sd[f"{p}features.{feat_idx}.{blk}.layer_scale"]).reshape(-1),
             }
     return out

@@ -195,3 +195,33 @@ class TestPallasHead:
         valid = tree.proto_valid
         np.testing.assert_allclose(np.asarray(pooled)[:, valid],
                                    pooled_ref[:, valid], atol=2e-6)
+
+
+class TestPallasCNBlock:
+    def test_fused_block_matches_xla(self, rng):
+        """Fused ConvNeXt-block kernel == XLA composition (values + grads),
+        interpret mode."""
+        from pipnet_tpu.ops.pallas_convnext import (cnblock_branch_xla,
+                                                    make_fused_cnblock)
+        C, hidden = 128, 512
+        args = [
+            jnp.asarray(rng.standard_normal((2, 9, 9, C)) * 0.5, jnp.float32),
+            jnp.asarray(rng.standard_normal((7, 7, C)) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32),
+            jnp.asarray(1 + rng.standard_normal(C) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal((C, hidden)) * 0.05, jnp.float32),
+            jnp.asarray(rng.standard_normal(hidden) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal((hidden, C)) * 0.05, jnp.float32),
+            jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal(C) * 0.01, jnp.float32),
+        ]
+        fused = make_fused_cnblock(fast_gelu=False, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(fused(*args)),
+            np.asarray(cnblock_branch_xla(*args, fast_gelu=False)), atol=1e-5)
+        gf = jax.grad(lambda *a: (fused(*a) ** 2).sum(), argnums=(0, 5))(*args)
+        gx = jax.grad(lambda *a: (cnblock_branch_xla(*a, fast_gelu=False) ** 2).sum(),
+                      argnums=(0, 5))(*args)
+        for a, b in zip(gf, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
