@@ -83,3 +83,44 @@ class Phylogeny:
 
 # Alias matching the reference's class name for CUB-style path-based trees.
 PhylogenyCUB = Phylogeny
+
+
+class OpenTreePhylogeny(Phylogeny):
+    """Fish-style phylogeny resolved through OpenTree artifacts
+    (counterpart of the reference's ``Phylogeny``, util/phylogeny.py:18-215).
+
+    The reference resolves species names via the OpenTree web API and caches
+    ``cleaned_metadata.tre`` + ``name_conversion.pkl`` under ``file_path``
+    (util/phylogeny.py:153-215).  This environment has no network egress, so
+    only the CACHED form is supported: both files must already exist; leaves
+    named ``ott<id>`` are translated back to species names through the cached
+    mapping.  Fresh API resolution raises with instructions.
+    """
+
+    def __init__(self, file_path: str, node_ids=None):
+        import os
+        import pickle
+
+        tre = os.path.join(file_path, "cleaned_metadata.tre")
+        conv = os.path.join(file_path, "name_conversion.pkl")
+        if not (os.path.exists(tre) and os.path.exists(conv)):
+            raise FileNotFoundError(
+                "OpenTreePhylogeny requires the cached artifacts "
+                f"{tre} and {conv} (the reference creates them via the "
+                "OpenTree API, which needs network access; generate them "
+                "once elsewhere and copy them here)")
+        with open(conv, "rb") as f:
+            _, ott_id_dict = pickle.load(f)
+        id_to_name = {f"ott{v}": k for k, v in ott_id_dict.items()}
+        super().__init__(file_path=tre, node_ids=node_ids)
+        # translate ott ids back to species names
+        for leaf in self.tree.iter_leaves():
+            if leaf.name in id_to_name:
+                leaf.name = id_to_name[leaf.name]
+        self.node_ids = (list(node_ids) if node_ids is not None
+                         else sorted(l.name for l in self.tree.iter_leaves()))
+        self._leaf_by_name = {l.name: l for l in self.tree.iter_leaves()}
+        self._root_distance = {n: self.tree.get_distance(l)
+                               for n, l in self._leaf_by_name.items()}
+        self.total_distance = max(self._root_distance.values())
+        self._groups_cache = {}
