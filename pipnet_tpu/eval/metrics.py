@@ -105,3 +105,31 @@ def degenerate_nodes_from_mask(tree, w_eff: np.ndarray,
         rows = masked[cs]
         out[ni] = bool((rows.max(axis=1) <= threshold).any())
     return out
+
+
+def per_class_fpr95_thresholds(scores: np.ndarray, ys: np.ndarray,
+                               num_classes: int) -> np.ndarray:
+    """Per-class score thresholds at 95% TPR over correctly-predicted samples
+    (ref get_thresholds, pipnet/test.py:152-239).  Classes with no correct
+    predictions inherit the global threshold."""
+    pred = scores.argmax(-1)
+    maxs = scores.max(-1)
+    global_thr = fpr95_threshold(scores, ys)
+    out = np.full(num_classes, global_thr, np.float64)
+    for c in range(num_classes):
+        sel = (pred == ys) & (ys == c)
+        if sel.any():
+            out[c] = np.quantile(maxs[sel], 0.05)
+    return out
+
+
+def eval_ood(scores_id: np.ndarray, ys_id: np.ndarray, scores_ood: np.ndarray,
+             num_classes: int) -> Dict[str, float]:
+    """OOD detection summary (ref eval_ood, pipnet/test.py:242-292): fraction
+    of ID/OOD samples whose top joint score clears the mean per-class
+    FPR95 threshold."""
+    thr = per_class_fpr95_thresholds(scores_id, ys_id, num_classes)
+    return {
+        "threshold_mean": float(thr.mean()),
+        **ood_id_fraction(scores_id, scores_ood, float(thr.mean())),
+    }

@@ -123,7 +123,14 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndar
 
 def align_loss_unit_space(x: jnp.ndarray, y: jnp.ndarray, alpha: float = 2.0) -> jnp.ndarray:
     """mean ||x - y||^alpha over rows (Wang-Isola alignment,
-    ref pipnet/train.py:1395-1396)."""
+    ref pipnet/train.py:1395-1396).
+
+    For alpha=2 (the only value used) this is computed as a plain sum of
+    squares: identical math, but smooth at x==y, where the norm's gradient is
+    NaN — two augmented views CAN coincide (identity photometric op + same
+    crop), which would poison the whole step."""
+    if alpha == 2.0:
+        return jnp.mean(jnp.sum((x - y) ** 2, axis=-1))
     return jnp.mean(jnp.linalg.norm(x - y, axis=-1) ** alpha)
 
 

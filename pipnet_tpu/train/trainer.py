@@ -278,3 +278,39 @@ class Trainer:
             self.log.log_values(log_name, epoch, *vals, f"{acc:.4f}")
         self.history.append((split, epoch, {k: v for k, v in info.items()
                                             if not isinstance(v, (dict, np.ndarray))}))
+
+
+def evaluate_per_node(trainer: Trainer, loader) -> dict:
+    """Per-node accuracy/F1 on an eval loader (the reference's node_accuracy
+    bookkeeping + torchmetrics weighted F1, pipnet/train.py:469-475)."""
+    import jax.numpy as jnp
+
+    from ..eval.metrics import per_node_prf
+    from ..losses import make_tree_consts
+    from ..losses.catalog import _yidx
+
+    tree = trainer.tree
+    tc = make_tree_consts(tree)
+    preds = {ni: [] for ni in range(tree.num_nodes)}
+    gts = {ni: [] for ni in range(tree.num_nodes)}
+    for batch in loader.epoch(0):
+        out = trainer.eval_step(trainer.state.params, trainer.state.batch_stats,
+                                jnp.asarray(batch.xs1), jnp.asarray(batch.ys),
+                                jax.random.PRNGKey(0))
+        logits = np.asarray(out["logits"])
+        yid = np.asarray(_yidx(jnp.asarray(batch.ys), tc.num_leaves))
+        slot = tree.leaf_child_slot[np.clip(yid, 0, tree.num_classes - 1)]
+        for ni in range(tree.num_nodes):
+            cs = tree.node_child_slice(ni)
+            under = (batch.ys >= 0) & (slot[:, ni] >= 0)
+            if not under.any():
+                continue
+            p = logits[under][:, cs].argmax(-1)
+            preds[ni].extend(p.tolist())
+            gts[ni].extend(slot[under, ni].tolist())
+    report = {}
+    for ni, name in enumerate(tree.node_names):
+        if gts[ni]:
+            report[name] = per_node_prf(np.asarray(preds[ni]), np.asarray(gts[ni]),
+                                        int(tree.node_num_children[ni]))
+    return report

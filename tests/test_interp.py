@@ -225,3 +225,18 @@ class TestPallasCNBlock:
                       argnums=(0, 5))(*args)
         for a, b in zip(gf, gx):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestOODMetrics:
+    def test_eval_ood(self, rng):
+        from pipnet_tpu.eval.metrics import eval_ood, per_class_fpr95_thresholds
+        n, L = 200, 5
+        ys = rng.integers(0, L, n)
+        scores_id = rng.uniform(0, 0.3, (n, L)).astype(np.float32)
+        scores_id[np.arange(n), ys] += 0.6          # ID confident & correct
+        scores_ood = rng.uniform(0, 0.3, (50, L)).astype(np.float32)
+        thr = per_class_fpr95_thresholds(scores_id, ys, L)
+        assert thr.shape == (L,)
+        res = eval_ood(scores_id, ys, scores_ood, L)
+        assert res["id_fraction_in_distribution"] > 0.9
+        assert res["id_fraction_ood"] < 0.2
