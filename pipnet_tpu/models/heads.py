@@ -162,7 +162,7 @@ class PrototypeHead(nn.Module):
 
         if self.use_pallas and not apply_overspecificity_mask:
             from ..ops.pallas_head import head_supports_fusion, make_fused_head
-            if head_supports_fusion(cfg):
+            if head_supports_fusion(cfg, tree):
                 fused = make_fused_head(tree, tau=cfg.softmax_tau)
                 pf, pooled = fused(features, self.add_on_kernel.astype(features.dtype))
                 pooled = pooled.astype(features.dtype)

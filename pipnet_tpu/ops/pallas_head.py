@@ -221,10 +221,14 @@ def make_fused_head(tree: TreeArrays, tau: float = 1.0):
     return fused
 
 
-def head_supports_fusion(cfg) -> bool:
+def head_supports_fusion(cfg, tree: Optional[TreeArrays] = None) -> bool:
     """The fused kernel covers the flagship head semantics: plain conv add-on
-    with per-node temperature softmax (no bias/focal/cosine/gumbel variants)."""
-    return (cfg.add_on_type == "conv" and not cfg.add_on_bias
-            and cfg.softmax_tau is not None and not cfg.softmax_over_channel
-            and not cfg.multiply_cs_softmax and not cfg.gumbel_softmax
-            and not cfg.focal)
+    with per-node temperature softmax (no bias/focal/cosine/gumbel variants);
+    with ``tree`` given, also requires a Mosaic-tileable prototype layout."""
+    ok = (cfg.add_on_type == "conv" and not cfg.add_on_bias
+          and cfg.softmax_tau is not None and not cfg.softmax_over_channel
+          and not cfg.multiply_cs_softmax and not cfg.gumbel_softmax
+          and not cfg.focal)
+    if ok and tree is not None:
+        ok = _plan_tiles(tree) is not None
+    return ok
