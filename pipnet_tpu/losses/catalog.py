@@ -216,22 +216,17 @@ def align_pf_loss(tc: TreeConsts, proto_features: jnp.ndarray, ys: jnp.ndarray) 
     B = proto_features.shape[0] // 2
     pf1, pf2 = proto_features[:B], proto_features[B:]
     ys1 = ys[:B]
-    # per-(sample, patch, node) inner products within node segments
-    def ips(a, b):
-        prod = a * jax.lax.stop_gradient(b)             # (B,H,W,P)
-        return jnp.einsum("bhwp,pn->bhwn", prod, tc.node_onehot)
-
-    ip12 = ips(pf1, pf2)
-    ip21 = ips(pf2, pf1)
+    # The reference averages two stop-gradient directions whose FORWARD values
+    # coincide; 0.5*(a*sg(b) + sg(a)*b) has the same forward value AND the same
+    # gradient as that average, so one einsum replaces two.
+    prod = 0.5 * (pf1 * jax.lax.stop_gradient(pf2)
+                  + jax.lax.stop_gradient(pf1) * pf2)
+    ip = jnp.einsum("bhwp,pn->bhwn", prod, tc.node_onehot)
     under, counts = node_batch_masks(tc, ys1)           # (B,N), (N,)
     hw = pf1.shape[1] * pf1.shape[2]
     m = under[:, None, None, :]
-
-    def direction(ip):
-        t = -jnp.log(ip + ALIGN_EPS) * m
-        return t.sum(axis=(0, 1, 2)) / jnp.maximum(counts * hw, 1.0)
-
-    per_node = (direction(ip12) + direction(ip21)) / 2.0
+    t = -jnp.log(ip + ALIGN_EPS) * m
+    per_node = t.sum(axis=(0, 1, 2)) / jnp.maximum(counts * hw, 1.0)
     per_node = jnp.where(counts > 0, per_node, 0.0)
     return per_node.sum() / tc.num_nodes, per_node
 
