@@ -27,6 +27,8 @@ def run(argv=None) -> int:
 
     from .config import (HeadConfig, LossConfig, ModelConfig, OptimConfig,
                          RunConfig, TrainConfig)
+    from .runtime.profiling import enable_compilation_cache
+    enable_compilation_cache()
     from .data import build_loaders
     from .datasets import resolve_dataset
     from .eval import sparsity_stats
