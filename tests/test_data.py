@@ -138,3 +138,30 @@ def test_native_preprocess_matches_numpy():
     out = normalize_u8(img)
     want = (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     np.testing.assert_allclose(out, want, atol=1e-6)
+
+
+def test_node_filtered_loader(synth):
+    """NodeFilteredLoader restricts to a node's leaves and remaps labels
+    (ref ModifiedLabelLoader, util/data.py:77-123)."""
+    from pipnet_tpu.data.node_loader import NodeFilteredLoader
+    from pipnet_tpu.data import EvalDataset, EvalTransform
+    from pipnet_tpu.tree import build_tree_from_config, compile_tree
+    train, test, phy = synth
+    root = build_tree_from_config(phy, None)
+    for n in root.nodes_with_children():
+        n.set_num_protos(0, 2, 0, True)
+    tree = compile_tree(root, protopool=False, pad_total_to=8)
+    folder = scan_image_folder(train)
+    loader = Loader(EvalDataset(folder, EvalTransform(48)), 4, shuffle=False,
+                    drop_last=False, prefetch=0)
+    # pick a non-root node
+    ni = 1 if tree.num_nodes > 1 else 0
+    nfl = NodeFilteredLoader(loader, tree, ni)
+    seen = 0
+    for batch, orig, slots in nfl:
+        assert (tree.leaf_child_slot[orig, ni] == slots).all()
+        assert (slots >= 0).all()
+        seen += len(orig)
+    expected = sum(int(tree.leaf_under_node[li, ni]) * 5
+                   for li in range(tree.num_classes))
+    assert seen == expected
