@@ -17,7 +17,6 @@ re-designed for a single-host JAX input pipeline:
 
 from __future__ import annotations
 
-import queue
 import threading
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Sequence, Tuple
@@ -70,6 +69,62 @@ def reference_drop_last(n: int, batch_size: int) -> bool:
     return (n % batch_size) / batch_size < 0.2
 
 
+def _parallel_batches(make_batch, nb: int, *, workers: int, ahead: int):
+    """In-order multi-worker batch production (the ``num_workers`` pool).
+
+    PIL decode / numpy augment release the GIL for their heavy inner loops, so
+    threads give real parallelism without the ~25 MB/batch pickling cost a
+    process pool would pay.  Exceptions raised inside a worker are forwarded
+    to the consumer (a dead producer must never leave the consumer blocked —
+    advisor finding, round 1).  At most ``ahead`` completed batches are held.
+    """
+    cond = threading.Condition()
+    results: dict = {}
+    state = {"next_in": 0, "next_out": 0, "stop": False}
+
+    def worker():
+        while True:
+            with cond:
+                while (not state["stop"] and state["next_in"] < nb
+                       and state["next_in"] - state["next_out"] >= ahead):
+                    cond.wait()
+                if state["stop"] or state["next_in"] >= nb:
+                    return
+                bi = state["next_in"]
+                state["next_in"] += 1
+            try:
+                out = make_batch(bi)
+            except BaseException as e:  # noqa: BLE001 — forwarded, re-raised
+                out = e
+            with cond:
+                results[bi] = out
+                cond.notify_all()
+
+    threads = [threading.Thread(target=worker, daemon=True)
+               for _ in range(max(1, workers))]
+    for t in threads:
+        t.start()
+    try:
+        for bi in range(nb):
+            with cond:
+                while bi not in results:
+                    if not any(t.is_alive() for t in threads):
+                        raise RuntimeError(
+                            f"all loader workers exited before batch {bi} was "
+                            "produced")
+                    cond.wait(timeout=1.0)
+                out = results.pop(bi)
+                state["next_out"] = bi + 1
+                cond.notify_all()
+            if isinstance(out, BaseException):
+                raise out
+            yield out
+    finally:
+        with cond:
+            state["stop"] = True
+            cond.notify_all()
+
+
 class Loader:
     """Epoch-based batch iterator with shuffling / weighted sampling /
     leave-out filtering / host sharding / threaded prefetch."""
@@ -78,8 +133,9 @@ class Loader:
                  shuffle: bool = True, drop_last: Optional[bool] = None,
                  weighted: bool = False,
                  keep_labels: Optional[Sequence[int]] = None,
+                 keep_indices: Optional[Sequence[int]] = None,
                  num_hosts: int = 1, host_id: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
@@ -88,11 +144,13 @@ class Loader:
         self.num_hosts = num_hosts
         self.host_id = host_id
         self.prefetch = prefetch
+        self.num_workers = max(1, int(num_workers))
 
         targets = dataset.folder.targets
-        idx = np.arange(len(dataset))
+        idx = (np.asarray(list(keep_indices), np.int64) if keep_indices is not None
+               else np.arange(len(dataset)))
         if keep_labels is not None:
-            keep = np.isin(targets, np.asarray(list(keep_labels)))
+            keep = np.isin(targets[idx], np.asarray(list(keep_labels)))
             idx = idx[keep]
         self.indices = idx
         self.targets = targets
@@ -132,9 +190,11 @@ class Loader:
     def epoch(self, epoch: int = 0) -> Iterator[Batch]:
         order = self._epoch_indices(epoch)
         nb = self._epoch_len
-        rng = np.random.default_rng((self.seed, epoch, self.host_id, 7))
 
         def make_batch(bi: int) -> Batch:
+            # per-BATCH rng seeding makes augmentation deterministic and
+            # independent of worker count / scheduling order
+            rng = np.random.default_rng((self.seed, epoch, self.host_id, 7, bi))
             rows = order[bi * self.batch_size:(bi + 1) * self.batch_size]
             v1s, v2s, ts = [], [], []
             for i in rows:
@@ -151,27 +211,9 @@ class Loader:
             for bi in range(nb):
                 yield make_batch(bi)
             return
-
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
-
-        def producer():
-            for bi in range(nb):
-                if stop.is_set():
-                    return
-                q.put(make_batch(bi))
-            q.put(None)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                b = q.get()
-                if b is None:
-                    return
-                yield b
-        finally:
-            stop.set()
+        yield from _parallel_batches(make_batch, nb,
+                                     workers=self.num_workers,
+                                     ahead=max(self.prefetch, self.num_workers))
 
 
 @dataclass
@@ -187,7 +229,28 @@ class Loaders:
     classes: List[str]
 
 
-def build_loaders(train_dir: str, test_dir: str, *, image_size: int = 224,
+def stratified_split(targets: np.ndarray, test_size: float, seed: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic per-class (stratified) train/test index split — the
+    ``train_test_split(..., stratify=targets, random_state=seed)`` used when
+    a dataset has no test directory (ref util/data.py:663-668).  Each class
+    contributes ``round(n_c * test_size)`` samples (at least 1, never all)."""
+    if not 0.0 < test_size < 1.0:
+        raise ValueError(f"validation_size must be in (0, 1), got {test_size}")
+    rng = np.random.default_rng(seed)
+    train_idx, test_idx = [], []
+    for c in np.unique(targets):
+        rows = np.flatnonzero(targets == c)
+        rows = rng.permutation(rows)
+        n_test = int(np.clip(round(len(rows) * test_size), 1, len(rows) - 1))
+        test_idx.append(rows[:n_test])
+        train_idx.append(rows[n_test:])
+    return (np.sort(np.concatenate(train_idx)),
+            np.sort(np.concatenate(test_idx)))
+
+
+def build_loaders(train_dir: str, test_dir: Optional[str], *,
+                  image_size: int = 224,
                   batch_size: int = 64, batch_size_pretrain: int = 128,
                   seed: int = 1, project_dir: Optional[str] = None,
                   train_dir_pretrain: Optional[str] = None,
@@ -196,16 +259,39 @@ def build_loaders(train_dir: str, test_dir: str, *, image_size: int = 224,
                   leave_out_classes: Optional[Sequence[str]] = None,
                   disable_transform2: bool = False, cars: bool = False,
                   grayscale: bool = False,
+                  validation_size: float = 0.0,
+                  num_workers: int = 1,
                   num_hosts: int = 1, host_id: int = 0) -> Loaders:
     from .folder import scan_image_folder
 
     train_folder = scan_image_folder(train_dir)
-    test_folder = scan_image_folder(test_dir)
+    # --validation_size: with no test directory, carve a stratified split of
+    # the train folder and use the held-out part as the test set
+    # (ref util/data.py:663-668; same rule applied to the pretrain folder at
+    # util/data.py:685-691)
+    train_keep = pretrain_keep = None
+    if test_dir is None:
+        if validation_size <= 0.0:
+            raise ValueError("no test set directory: validation_size must be "
+                             "> 0 so the training set can be split "
+                             "(ref util/data.py:664-665)")
+        train_keep, test_keep = stratified_split(train_folder.targets,
+                                                 validation_size, seed)
+        test_folder = train_folder
+    else:
+        test_keep = None
+        test_folder = scan_image_folder(test_dir)
     project_folder = scan_image_folder(project_dir or train_dir)
-    pretrain_folder = (scan_image_folder(train_dir_pretrain)
-                       if train_dir_pretrain else train_folder)
+    if train_dir_pretrain:
+        pretrain_folder = scan_image_folder(train_dir_pretrain)
+        if test_dir is None:
+            pretrain_keep, _ = stratified_split(pretrain_folder.targets,
+                                                validation_size, seed)
+    else:
+        pretrain_folder, pretrain_keep = train_folder, train_keep
     testproj_folder = (scan_image_folder(test_dir_projection)
                        if test_dir_projection else test_folder)
+    testproj_keep = None if test_dir_projection else test_keep
 
     keep = None
     if leave_out_classes:
@@ -222,22 +308,28 @@ def build_loaders(train_dir: str, test_dir: str, *, image_size: int = 224,
                            grayscale=grayscale)
     ev = EvalTransform(image_size, grayscale=grayscale)
 
-    common = dict(seed=seed, num_hosts=num_hosts, host_id=host_id)
+    common = dict(seed=seed, num_hosts=num_hosts, host_id=host_id,
+                  num_workers=num_workers)
     return Loaders(
         train=Loader(TwoViewDataset(train_folder, tv), batch_size,
-                     weighted=weighted, keep_labels=keep, **common),
+                     weighted=weighted, keep_labels=keep,
+                     keep_indices=train_keep, **common),
         train_pretraining=Loader(TwoViewDataset(pretrain_folder, tvp),
                                  batch_size_pretrain, weighted=weighted,
-                                 keep_labels=keep, **common),
+                                 keep_labels=keep, keep_indices=pretrain_keep,
+                                 **common),
         train_normal=Loader(EvalDataset(train_folder, ev), batch_size,
-                            keep_labels=keep, **common),
+                            keep_labels=keep, keep_indices=train_keep, **common),
         train_normal_augment=Loader(TwoViewDataset(train_folder, tv), batch_size,
-                                    keep_labels=keep, **common),
+                                    keep_labels=keep, keep_indices=train_keep,
+                                    **common),
         project=Loader(EvalDataset(project_folder, ev), 1, shuffle=False,
                        drop_last=False, seed=seed),
         test=Loader(EvalDataset(test_folder, ev), batch_size, shuffle=True,
-                    drop_last=False, seed=seed),
+                    drop_last=False, seed=seed, keep_indices=test_keep,
+                    num_workers=num_workers),
         test_project=Loader(EvalDataset(testproj_folder, ev), 1, shuffle=False,
-                            drop_last=False, seed=seed),
+                            drop_last=False, seed=seed,
+                            keep_indices=testproj_keep),
         classes=train_folder.classes,
     )

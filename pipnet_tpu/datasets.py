@@ -39,7 +39,10 @@ def resolve_dataset(name: str, *, seed: int = 1) -> Tuple[str, str, Optional[str
 
     if name.startswith("folder:"):
         parts = name.split(":")[1:]
-        train, test = parts[0], parts[1]
+        # an empty test segment ("folder:<train>:") means "no test directory":
+        # build_loaders then carves a --validation_size stratified split of
+        # the train folder (ref util/data.py:663-668)
+        train, test = parts[0], (parts[1] or None)
         project = parts[2] if len(parts) > 2 else None
         return train, test, project, kwargs
 

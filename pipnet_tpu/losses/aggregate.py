@@ -102,10 +102,16 @@ def compute_total_loss(tc: TreeConsts,
         aux["overspecificity"] = os["overspecificity"]
         aux["mask_l1"] = os["mask_l1"]
 
-    if (not pretrain) and (not finetune) and cfg.minimize_contrasting_set:
+    min_contrast_ran = (not pretrain) and (not finetune) and cfg.minimize_contrasting_set
+    if min_contrast_ran:
         mc, mc_pn = C.min_contrast_loss(tc, pooled, ys, w_eff, topk=cfg.min_contrast_topk)
         total = total + cfg.min_contrast_weight * mc
         aux["min_contrast"] = mc
+
+    # reference quirk (verified by tests/test_reference_parity.py): the
+    # min-contrast block rebinds calculate_loss's local EPS from 1e-8 to 1e-12
+    # (pipnet/train.py:1024), so every tanh term AFTER it uses 1e-12
+    tanh_eps = 1e-12 if min_contrast_ran else C.EPS
 
     if not finetune and cfg.align_pf:
         apf, apf_pn = C.align_pf_loss(tc, outputs["proto_features"], ys)
@@ -114,13 +120,13 @@ def compute_total_loss(tc: TreeConsts,
         aux["align_pf_per_node"] = apf_pn
 
     if not finetune and cfg.tanh and (cfg.tanh_during_second_phase or pretrain):
-        th, th_pn = C.tanh_loss(tc, pooled, ys)
+        th, th_pn = C.tanh_loss(tc, pooled, ys, eps=tanh_eps)
         total = total + weights.tanh * th
         aux["tanh"] = th
         aux["tanh_per_node"] = th_pn
 
     if (not finetune) and (not pretrain) and cfg.tanh_desc:
-        td, td_pn = C.tanh_desc_loss(tc, pooled, ys, w_eff)
+        td, td_pn = C.tanh_desc_loss(tc, pooled, ys, w_eff, eps=tanh_eps)
         total = total + cfg.tanh_desc_weight * td
         aux["tanh_desc"] = td
         aux["tanh_desc_per_node"] = td_pn

@@ -231,16 +231,23 @@ def align_pf_loss(tc: TreeConsts, proto_features: jnp.ndarray, ys: jnp.ndarray) 
     return per_node.sum() / tc.num_nodes, per_node
 
 
-def tanh_loss(tc: TreeConsts, pooled: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
+def tanh_loss(tc: TreeConsts, pooled: jnp.ndarray, ys: jnp.ndarray,
+              eps: float = EPS) -> jnp.ndarray:
     """-log(tanh(sum over in-node batch of pooled))
-    averaged over each node's prototypes, per view (ref pipnet/train.py:1076-1087)."""
+    averaged over each node's prototypes, per view (ref pipnet/train.py:1076-1087).
+
+    ``eps``: calculate_loss receives EPS=1e-8 but its min-contrast block
+    locally rebinds EPS=1e-12 (pipnet/train.py:1024) BEFORE any tanh term
+    runs, so with min_contrast active the reference's effective tanh epsilon
+    is 1e-12 — verified by tests/test_reference_parity.py against the real
+    code.  The caller passes the matching value."""
     B = pooled.shape[0] // 2
     under, counts = node_batch_masks(tc, ys[:B])        # same labels per view
 
     def per_view(pool_v, under_v):
         mask_p = under_v[:, tc.proto_node]              # (B, P): sample under proto's node
         s = jnp.sum(pool_v * mask_p, axis=0)            # (P,)
-        lt = jnp.log(jnp.tanh(s) + EPS) * tc.proto_valid
+        lt = jnp.log(jnp.tanh(s) + eps) * tc.proto_valid
         per_node = -(lt @ tc.node_onehot) / jnp.maximum(tc.node_num_protos, 1.0)
         return per_node
 
@@ -267,14 +274,17 @@ def per_leaf_view_sums(tc: TreeConsts, pooled: jnp.ndarray, ys: jnp.ndarray):
 
 
 def tanh_desc_loss(tc: TreeConsts, pooled: jnp.ndarray, ys: jnp.ndarray,
-                   w_eff: jnp.ndarray) -> jnp.ndarray:
+                   w_eff: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:
     """Per-descendant tanh loss (ref pipnet/train.py:1089-1134).
 
     For every node n and every leaf descendant l (PRESENT OR NOT — absent
-    leaves sum to 0 and contribute the constant -log(EPS), faithfully to the
+    leaves sum to 0 and contribute the constant -log(eps), faithfully to the
     reference), over the prototypes relevant (> 1e-3) to l's child of n:
-        term(l, n) = -mean_p log(tanh(per-leaf per-view pooled sum) + EPS)
+        term(l, n) = -mean_p log(tanh(per-leaf per-view pooled sum) + eps)
     node loss = mean over its leaf descendants; total = sum/N.
+
+    ``eps``: see tanh_loss — the reference's min-contrast block rebinds the
+    shared local EPS to 1e-12 (pipnet/train.py:1024).
     """
     s1, s2 = per_leaf_view_sums(tc, pooled, ys)          # (L+1, P) each
     thr = (w_eff > 1e-3).astype(jnp.float32)             # (C, P)
@@ -282,7 +292,7 @@ def tanh_desc_loss(tc: TreeConsts, pooled: jnp.ndarray, ys: jnp.ndarray,
     rel = jnp.take_along_axis(thr, colsafe, axis=0)      # (L+1, P)
     rel = rel * (tc.colmat >= 0) * tc.proto_valid[None, :]
 
-    lt = (jnp.log(jnp.tanh(s1) + EPS) + jnp.log(jnp.tanh(s2) + EPS)) / 2.0
+    lt = (jnp.log(jnp.tanh(s1) + eps) + jnp.log(jnp.tanh(s2) + eps)) / 2.0
     numer = (-lt * rel) @ tc.node_onehot                 # (L+1, N)
     cnt = rel @ tc.node_onehot                           # (L+1, N)
     term = jnp.where(cnt > 0, numer / jnp.maximum(cnt, 1.0), 0.0)

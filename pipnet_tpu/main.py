@@ -160,6 +160,7 @@ def run_pipnet(argv=None) -> int:
         leave_out_classes=leave_out,
         disable_transform2=cfg.disable_transform2,
         cars=dkw.get("cars", False), grayscale=dkw.get("grayscale", False),
+        validation_size=cfg.validation_size, num_workers=cfg.num_workers,
         num_hosts=jax.process_count(), host_id=jax.process_index())
     ood_loaders = None
     if cfg.ood_dataset:
@@ -168,6 +169,7 @@ def run_pipnet(argv=None) -> int:
             otrain, otest, project_dir=oproj, image_size=cfg.model.image_size,
             batch_size=cfg.train.batch_size,
             batch_size_pretrain=cfg.train.batch_size_pretrain,
+            validation_size=cfg.validation_size, num_workers=cfg.num_workers,
             seed=cfg.train.seed)
 
     # tree: explicit phylogeny yaml, auto (synthetic bundles one), or flat

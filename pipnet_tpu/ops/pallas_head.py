@@ -174,7 +174,8 @@ def fused_head_forward(features: jnp.ndarray, kernel: jnp.ndarray,
 # training-ready wrapper: fused Pallas forward + analytic XLA backward
 # ---------------------------------------------------------------------------
 
-def make_fused_head(tree: TreeArrays, tau: float = 1.0):
+def make_fused_head(tree: TreeArrays, tau: float = 1.0,
+                    interpret: bool = False):
     """Returns fused(features, kernel) -> (pf, pooled) with a custom VJP.
 
     Forward runs the fused Mosaic kernel; backward is the analytic softmax /
@@ -191,20 +192,29 @@ def make_fused_head(tree: TreeArrays, tau: float = 1.0):
 
     @jax.custom_vjp
     def fused(features, kernel):
-        return fused_head_forward(features, kernel, tree, tau=tau)
+        return fused_head_forward(features, kernel, tree, tau=tau,
+                                  interpret=interpret)
 
     def fwd(features, kernel):
-        pf, pooled = fused_head_forward(features, kernel, tree, tau=tau)
+        pf, pooled = fused_head_forward(features, kernel, tree, tau=tau,
+                                        interpret=interpret)
         return (pf, pooled), (features, kernel, pf, pooled)
 
     def bwd(res, cts):
         features, kernel, pf, pooled = res
+        del pooled  # see below: max is recomputed from pf for dtype-safety
         g_pf, g_pooled = cts
         B, H, W, P = pf.shape
         pf32 = pf.astype(jnp.float32)
         # route the pooled cotangent to the spatial argmax (ties split evenly,
-        # matching jnp.max's VJP)
-        is_max = (pf32 == pooled[:, None, None, :]).astype(jnp.float32)
+        # matching jnp.max's VJP).  The max MUST be recomputed from pf itself:
+        # pf is stored in the compute dtype (bf16 in training) while the
+        # kernel's pooled output is f32, so `pf32 == pooled` almost never
+        # holds under bf16 rounding and would silently drop the pooled
+        # gradient (advisor finding, round 1).  Comparing pf against its own
+        # max is exact in any dtype and picks the same locations up to
+        # sub-rounding ties.
+        is_max = (pf32 == jnp.max(pf32, axis=(1, 2), keepdims=True)).astype(jnp.float32)
         counts = jnp.maximum(is_max.sum(axis=(1, 2), keepdims=True), 1.0)
         g_tot = g_pf.astype(jnp.float32) + is_max / counts * g_pooled[:, None, None, :]
         # segment softmax adjoint

