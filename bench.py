@@ -77,7 +77,7 @@ def main():
     scalars = Scalars(net_t=jnp.float32(0), net_T=jnp.float32(10000),
                       epoch_frac=jnp.float32(0.5),
                       align_pf_weight=jnp.float32(5.0),
-                      tanh_weight=jnp.float32(2.0), epoch=jnp.float32(20))
+                      tanh_weight=jnp.float32(2.0))
 
     # warmup / compile.  NOTE: device-queue fencing uses an actual scalar
     # fetch because block_until_ready is unreliable over the axon tunnel.

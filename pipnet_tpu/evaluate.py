@@ -23,6 +23,11 @@ def run(argv=None) -> int:
     p.add_argument("--path_prob_softmax_tau", type=float, default=1.0)
     p.add_argument("--leave_out_classes", default=None)
     p.add_argument("--dataset", default=None)
+    p.add_argument("--OOD_dataset", default=None,
+                   help="OOD dataset name: adds the eval_ood ID-fraction "
+                        "report (ref pipnet/test.py:242-292 / OOD_checking.ipynb)")
+    p.add_argument("--skip_per_node", action="store_true",
+                   help="skip the per-node accuracy/F1 sweep")
     args = p.parse_args(argv)
 
     from .config import (HeadConfig, LossConfig, ModelConfig, OptimConfig,
@@ -103,12 +108,61 @@ def run(argv=None) -> int:
         apply_overspecificity_mask=args.apply_overspecificity_mask,
         path_prob_softmax_tau=args.path_prob_softmax_tau)
 
+    import jax
+    import jax.numpy as jnp
     import numpy as np
+
+    from .eval.metrics import abstained_count, eval_ood
+    from .train.step import make_eval_step
+    from .train.trainer import evaluate_per_node
+
     w_eff = np.asarray(model.apply(
         {"params": trainer.state.params},
         method=lambda m: m.head.effective_cls_weight()))
-    result.update(sparsity_stats(w_eff))
+
+    # full test-set sweep collecting joint scores / pooled / logits for the
+    # metrics the reference reports in pipnet/test.py:66-96,152-292
+    step = make_eval_step(model, tree,
+                          path_prob_softmax_tau=args.path_prob_softmax_tau,
+                          apply_overspecificity_mask=args.apply_overspecificity_mask)
+
+    def collect(loader):
+        scores, pooleds, logitss, ys = [], [], [], []
+        rng = jax.random.PRNGKey(0)
+        for batch in loader.epoch(0):
+            rng, sub = jax.random.split(rng)
+            out = step(trainer.state.params, trainer.state.batch_stats,
+                       jnp.asarray(batch.xs1), jnp.asarray(batch.ys), sub)
+            scores.append(np.exp(np.asarray(out["log_joint"], np.float64)))
+            pooleds.append(np.asarray(out["pooled"]))
+            logitss.append(np.asarray(out["logits"]))
+            ys.append(batch.ys)
+        return (np.concatenate(scores), np.concatenate(pooleds),
+                np.concatenate(logitss), np.concatenate(ys))
+
+    scores, pooled, logits, ys = collect(loaders.test)
+    result.update(sparsity_stats(w_eff, pooled))
+    # abstain: no positive classifier evidence anywhere (ref pipnet/test.py:66-70)
+    result["abstained"] = abstained_count(logits)
+
+    if not args.skip_per_node:
+        result["per_node"] = evaluate_per_node(trainer, loaders.test)
+
+    if args.OOD_dataset:
+        otrain, otest, oproj, okw = resolve_dataset(args.OOD_dataset,
+                                                    seed=cfg.train.seed)
+        ood_loaders = build_loaders(otrain, otest, project_dir=oproj,
+                                    image_size=cfg.model.image_size,
+                                    batch_size=cfg.train.batch_size,
+                                    seed=cfg.train.seed)
+        ood_scores, *_ = collect(ood_loaders.test)
+        result["ood"] = eval_ood(scores, ys, ood_scores, tree.num_classes)
+
+    report_path = os.path.join(args.run_dir, "eval_report.json")
+    with open(report_path, "w") as f:
+        json.dump(result, f, indent=2, default=float)
     print(json.dumps(result, indent=2, default=float))
+    print(f"report written to {report_path}")
     return 0
 
 

@@ -52,16 +52,47 @@ def nondescendant_topk(proj: ProjectionResult, tree: TreeArrays,
     return out
 
 
+def make_heatmap_forward(model, tree: TreeArrays, params, batch_stats,
+                         proj: ProjectionResult):
+    """Returns ``f(image_indices) -> (B, H, W, P) softmaxed maps`` by
+    re-running the forward on the selected projection images — the maps are
+    not retained during the projection sweep (they live only transiently on
+    device), so the gallery re-computes them for just the chosen top-k images
+    (<= k * P tiny batches, as the reference effectively does by running the
+    whole viz forward per image, util/vis_hpipnet.py:62-127)."""
+    import jax.numpy as jnp
+
+    from ..data.augment import EvalTransform
+    from .topk import make_projection_step
+
+    step = make_projection_step(model, tree)
+    tf = EvalTransform(proj.image_size)
+
+    def forward(image_indices):
+        xs = []
+        for idx in image_indices:
+            with Image.open(proj.paths[idx]) as im:
+                xs.append(tf(im.convert("RGB")))
+        out = step(params, batch_stats, jnp.asarray(np.stack(xs)))
+        return np.asarray(out["proto_features"])
+
+    return forward
+
+
 def save_hierarchy_galleries(proj: ProjectionResult, tree: TreeArrays,
                              w_eff: np.ndarray, proto_presence: np.ndarray,
                              out_dir: str, *, k: int = 10,
                              with_nondescendants: bool = True,
                              heatmaps: bool = True,
+                             heatmap_forward=None,
                              nodes: Optional[List[int]] = None) -> List[str]:
     """Write per-node galleries; returns written paths.
 
     Layout: ``<out_dir>/<node>/prototype_<p>[_OVERSPECIFIC]/<leaf>.png`` grids
-    of cropped argmax patches, plus ``..._heatmaps.png`` full-image overlays;
+    of cropped argmax patches, plus ``<leaf>_heatmaps.png`` full-image JET
+    overlays of the REAL softmaxed activation maps (ref
+    util/vis_hpipnet.py:134-153) when ``heatmap_forward`` (see
+    ``make_heatmap_forward``) is given — otherwise a peak-box marker;
     ``<node>/nondesc_prototype_<p>.png`` for the contrast galleries."""
     per_leaf = topk_per_prototype_per_leaf(proj, tree, w_eff, k=k)
     keep = presence_prune_mask(proto_presence)
@@ -90,19 +121,40 @@ def save_hierarchy_galleries(proj: ProjectionResult, tree: TreeArrays,
                         patches, os.path.join(pdir, f"{tree.class_names[li]}.png"),
                         labels=labels))
             if heatmaps and per_leaf[p]:
-                some_li = next(iter(per_leaf[p]))
-                if per_leaf[p][some_li]:
-                    img_idx, _ = per_leaf[p][some_li][0]
-                    img = _load(proj, img_idx)
-                    # reconstruct the latent activation from argmax info only is
-                    # lossy; overlay a peak marker box instead when maps are not
-                    # retained (full maps live only transiently on device)
-                    boxed = draw_patch_box(Image.fromarray(img),
-                                           proj.patch_box(img_idx, p))
-                    path = os.path.join(pdir, "peak_patch.png")
-                    os.makedirs(pdir, exist_ok=True)
-                    boxed.save(path)
-                    written.append(path)
+                if heatmap_forward is not None:
+                    # real softmaxed-map JET overlays per leaf gallery
+                    # (ref util/vis_hpipnet.py:134-153): one re-forward over
+                    # the prototype's selected images
+                    all_entries = [(li, idx) for li, es in per_leaf[p].items()
+                                   for idx, _ in es]
+                    uniq = sorted({idx for _, idx in all_entries})
+                    maps = heatmap_forward(uniq)                  # (B,H,W,P)
+                    pos = {idx: i for i, idx in enumerate(uniq)}
+                    for li, entries in per_leaf[p].items():
+                        overlays, labels = [], []
+                        for img_idx, score in entries:
+                            img = _load(proj, img_idx)
+                            overlays.append(overlay_heatmap(
+                                img, maps[pos[img_idx], :, :, p]))
+                            labels.append(f"{score:.2f}")
+                        if overlays:
+                            written.append(save_image_grid(
+                                overlays,
+                                os.path.join(pdir,
+                                             f"{tree.class_names[li]}_heatmaps.png"),
+                                labels=labels))
+                else:
+                    # no forward available: peak marker box fallback
+                    some_li = next(iter(per_leaf[p]))
+                    if per_leaf[p][some_li]:
+                        img_idx, _ = per_leaf[p][some_li][0]
+                        img = _load(proj, img_idx)
+                        boxed = draw_patch_box(Image.fromarray(img),
+                                               proj.patch_box(img_idx, p))
+                        path = os.path.join(pdir, "peak_patch.png")
+                        os.makedirs(pdir, exist_ok=True)
+                        boxed.save(path)
+                        written.append(path)
         for p, entries in nd.items():
             if not (sl.start <= p < sl.stop):
                 continue

@@ -229,12 +229,26 @@ def run_pipnet(argv=None) -> int:
         result = trainer.fit(eval_every=args.eval_every, start_epoch=start_epoch)
 
     if args.final_viz == "y" and len(loaders.classes) <= 60:
-        from .interp import run_projection, save_topk_gallery, topk_per_prototype
+        from .interp import (run_projection, save_hierarchy_galleries,
+                             save_topk_gallery, topk_per_prototype)
+        from .interp.hierarchy_viz import make_heatmap_forward
         proj = run_projection(model, tree, trainer.state.params,
                               trainer.state.batch_stats, loaders.project,
                               image_size=cfg.model.image_size)
         gallery_dir = os.path.join(cfg.log_dir, args.dir_for_saving_images)
         save_topk_gallery(proj, topk_per_prototype(proj, k=10), gallery_dir)
+        # per-node hierarchical galleries with real activation-map overlays
+        # (ref main.py:835-866 -> util/vis_hpipnet.py save_images_topk)
+        w_eff = np.asarray(model.apply(
+            {"params": trainer.state.params},
+            method=lambda m: m.head.effective_cls_weight()))
+        hm_fwd = make_heatmap_forward(model, tree, trainer.state.params,
+                                      trainer.state.batch_stats, proj)
+        save_hierarchy_galleries(
+            proj, tree, w_eff,
+            np.asarray(trainer.state.params["head"]["proto_presence"]),
+            os.path.join(gallery_dir, "hierarchy"), k=10,
+            heatmap_forward=hm_fwd)
         print(f"prototype galleries written to {gallery_dir}")
 
     mins = (time.time() - t_start) / 60.0

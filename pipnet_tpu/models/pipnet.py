@@ -130,9 +130,75 @@ class PIPNet(nn.Module):
 # joint distribution over leaves
 # ----------------------------------------------------------------------------
 
+def leave_out_decode_tables(tree: TreeArrays, leave_out_idx) -> tuple:
+    """Static tables implementing the reference's leave-out-class (LOU)
+    short-circuit (``util/node.py:319-326``): at a node where ANY child's
+    entire leaf set is left out, the whole subtree distribution is replaced by
+    a deterministic indicator on that node's first left-out LEAF child — this
+    is the mechanism that routes unseen species through the tree
+    (``calc_acc_LOU.ipynb``).  The recursion is top-down, so only the TOPMOST
+    triggering node on a leaf's root path applies.
+
+    Returns ``(use_mask (L, N) f32, extra (L,) f32)``: a leaf's log joint is
+    the sum of its path edges where ``use_mask`` is 1 plus ``extra``
+    (0 for the chosen indicator leaf, -inf for other leaves under a trigger).
+    """
+    L, N = tree.leaf_under_node.shape
+    lo = np.zeros(L, bool)
+    lo[np.asarray(list(leave_out_idx), np.int64)] = True
+    under = tree.leaf_under_node.astype(bool)                       # (L, N)
+    child_leaf = tree.child_leaf_matrix.astype(bool)                # (L, C)
+
+    trigger = np.zeros(N, bool)
+    chosen = np.full(N, -1, np.int64)
+    for ni in range(N):
+        cs = tree.node_child_slice(ni)
+        cols = np.arange(cs.start, cs.stop)
+        full_out = [c for c in cols
+                    if child_leaf[:, c].any() and lo[child_leaf[:, c]].all()]
+        if not full_out:
+            continue
+        trigger[ni] = True
+        leaf_cols = [c for c in cols
+                     if tree.child_leaf_class[c] >= 0
+                     and lo[tree.child_leaf_class[c]]]
+        if not leaf_cols:
+            # the reference indexes [0] of an empty list here
+            # (util/node.py:321) — an internal child fully left out with no
+            # left-out leaf sibling crashes it; we raise with context instead
+            raise ValueError(
+                f"node {tree.node_names[ni]}: an internal child subtree is "
+                "fully left out but no direct leaf child is left out — the "
+                "reference decode is undefined here (util/node.py:319-326)")
+        chosen[ni] = int(tree.child_leaf_class[leaf_cols[0]])
+
+    # depth = number of strict ancestors (nodes with a strict leafset superset)
+    sizes = under.sum(axis=0)
+    depth = np.zeros(N, np.int64)
+    for n in range(N):
+        for m in range(N):
+            if m != n and sizes[m] > sizes[n] and not (under[:, n] & ~under[:, m]).any():
+                depth[n] += 1
+
+    use = under.copy()
+    extra = np.zeros(L, np.float32)
+    for leaf in range(L):
+        path = np.flatnonzero(under[leaf])
+        trig = [n for n in path if trigger[n]]
+        if not trig:
+            continue
+        top = min(trig, key=lambda n: depth[n])
+        for n in path:
+            if depth[n] >= depth[top]:
+                use[leaf, n] = False        # T's edge and everything below
+        extra[leaf] = 0.0 if leaf == chosen[top] else -np.inf
+    return use.astype(np.float32), extra
+
+
 def joint_leaf_log_distribution(logits: jnp.ndarray, tree: TreeArrays,
                                 softmax_tau: float = 1.0,
-                                degenerate_nodes=None) -> jnp.ndarray:
+                                degenerate_nodes=None,
+                                leave_out_idx=None) -> jnp.ndarray:
     """Log joint distribution over the fine classes.
 
     Vectorized form of the reference's recursive
@@ -152,6 +218,10 @@ def joint_leaf_log_distribution(logits: jnp.ndarray, tree: TreeArrays,
     classifier has a child with no surviving prototypes fall back to
     leaf-count priors for their child distribution
     (ref util/node.py:336-361, the apply_overspecificity_mask path).
+
+    ``leave_out_idx`` is an optional sequence of left-out class indices:
+    applies the reference's LOU short-circuit (see
+    ``leave_out_decode_tables``; ref util/node.py:319-326).
     """
     B, C = logits.shape
     N = tree.num_nodes
@@ -179,12 +249,18 @@ def joint_leaf_log_distribution(logits: jnp.ndarray, tree: TreeArrays,
         logp_children = jnp.where(deg, jnp.asarray(prior)[None], logp_children)
 
     slot = jnp.asarray(np.where(tree.leaf_child_slot >= 0, tree.leaf_child_slot, 0))  # (L, N)
-    under = jnp.asarray(tree.leaf_under_node)                          # (L, N)
+    if leave_out_idx is not None and len(leave_out_idx) > 0:
+        use_np, extra_np = leave_out_decode_tables(tree, leave_out_idx)
+        under = jnp.asarray(use_np)
+        extra = jnp.asarray(extra_np)[None]
+    else:
+        under = jnp.asarray(tree.leaf_under_node)                      # (L, N)
+        extra = 0.0
     # gather logp_children at (b, n, slot[l, n]) -> (B, L, N)
     g = jnp.take_along_axis(logp_children[:, None, :, :].repeat(slot.shape[0], axis=1),
                             slot[None, :, :, None], axis=-1)[..., 0]
-    g = jnp.where(under[None], g, 0.0)
-    return g.sum(axis=-1)                                              # (B, L)
+    g = jnp.where(under[None] > 0, g, 0.0)
+    return g.sum(axis=-1) + extra                                      # (B, L)
 
 
 def joint_leaf_distribution(logits: jnp.ndarray, tree: TreeArrays,

@@ -25,21 +25,25 @@ void resize_crop_normalize(const uint8_t* src, int sh, int sw,
                            int hflip,
                            const float* mean, const float* std_,
                            float* dst) {
-  const float scale_y = dh > 1 ? (float)(sh - 1) / (float)(dh - 1) : 0.f;
-  const float scale_x = dw > 1 ? (float)(sw - 1) / (float)(dw - 1) : 0.f;
+  // half-pixel sampling convention, matching PIL / torchvision bilinear
+  // (align_corners=False): src_pos = (dst_pos + 0.5) * src/dst - 0.5.
+  // (the earlier align-corners (s-1)/(d-1) scaling skewed samples vs the
+  // Python path — round-1 advisor finding)
+  const float scale_y = (float)sh / (float)dh;
+  const float scale_x = (float)sw / (float)dw;
   const float inv_std[3] = {1.f / std_[0], 1.f / std_[1], 1.f / std_[2]};
   const float k = 1.f / 255.f;
 
   for (int y = 0; y < ch; ++y) {
-    const float fy = (float)(cy + y) * scale_y;
-    const int y0 = (int)fy;
+    const float fy = std::max(0.f, ((float)(cy + y) + 0.5f) * scale_y - 0.5f);
+    const int y0 = std::min((int)fy, sh - 1);
     const int y1 = std::min(y0 + 1, sh - 1);
     const float wy = fy - (float)y0;
     float* row = dst + (size_t)y * cw * 3;
     for (int x = 0; x < cw; ++x) {
       const int out_x = hflip ? (cw - 1 - x) : x;
-      const float fx = (float)(cx + x) * scale_x;
-      const int x0 = (int)fx;
+      const float fx = std::max(0.f, ((float)(cx + x) + 0.5f) * scale_x - 0.5f);
+      const int x0 = std::min((int)fx, sw - 1);
       const int x1 = std::min(x0 + 1, sw - 1);
       const float wx = fx - (float)x0;
       const uint8_t* p00 = src + ((size_t)y0 * sw + x0) * 3;

@@ -157,8 +157,7 @@ class Trainer:
                 net_T=jnp.float32(max(net_T, 1)),
                 epoch_frac=jnp.float32((epoch - 1) + i / max(iters, 1)),  # train.py:322
                 align_pf_weight=jnp.float32(align_pf_w),
-                tanh_weight=jnp.float32(tanh_w),
-                epoch=jnp.float32(epoch))
+                tanh_weight=jnp.float32(tanh_w))
             xs1d, xs2d, ysd = (jax.device_put(xs1, bsh), jax.device_put(xs2, bsh),
                                jax.device_put(ys, bsh))
             self.state, metrics = step(self.state, xs1d, xs2d, ysd, scalars)
@@ -255,18 +254,25 @@ class Trainer:
                  apply_overspecificity_mask: bool = False,
                  path_prob_softmax_tau: float = 1.0) -> Dict[str, float]:
         """Test pass (ref test_pipnet, pipnet/train.py:525-849): duplicated
-        views, inference thresholding, joint-distribution top-1/top-5."""
-        if apply_overspecificity_mask or path_prob_softmax_tau != 1.0:
-            step = make_eval_step(self.model, self.tree,
-                                  path_prob_softmax_tau=path_prob_softmax_tau,
-                                  apply_overspecificity_mask=apply_overspecificity_mask)
-        else:
-            step = self.eval_step
-        top1 = top5 = n = 0
+        views, inference thresholding, joint-distribution top-1/top-5.
+
+        With ``leave_out_classes``, the decode applies the reference's LOU
+        short-circuit (util/node.py:319-326) and accuracy is measured on the
+        left-out rows only (calc_acc_LOU.ipynb semantics)."""
         leave_out_idx = None
         if leave_out_classes:
             leave_out_idx = np.asarray(
                 [self.tree.class_names.index(c) for c in leave_out_classes])
+        if (apply_overspecificity_mask or path_prob_softmax_tau != 1.0
+                or leave_out_idx is not None):
+            step = make_eval_step(self.model, self.tree,
+                                  path_prob_softmax_tau=path_prob_softmax_tau,
+                                  apply_overspecificity_mask=apply_overspecificity_mask,
+                                  leave_out_idx=(tuple(int(i) for i in leave_out_idx)
+                                                 if leave_out_idx is not None else None))
+        else:
+            step = self.eval_step
+        top1 = top5 = n = 0
         rng = jax.random.PRNGKey(0)
         for batch in loader.epoch(0):
             rng, sub = jax.random.split(rng)

@@ -212,6 +212,40 @@ def test_native_preprocess_matches_numpy():
     np.testing.assert_allclose(out, want, atol=1e-6)
 
 
+def test_native_resize_matches_pil_half_pixel():
+    """The C++ bilinear resize uses the PIL/torchvision half-pixel convention
+    (round-1 advisor finding: the first version used align-corners scaling)."""
+    from PIL import Image
+
+    from pipnet_tpu.native import (IMAGENET_MEAN, IMAGENET_STD, lib,
+                                   resize_crop_normalize)
+    if lib() is None:
+        import pytest
+        pytest.skip("no C++ compiler available")
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (37, 51, 3), dtype=np.uint8)
+    # PIL's downscale bilinear uses an area-adaptive (antialiasing) support,
+    # not a plain 2-tap kernel, so the exact-equality check is the UPSCALE
+    # (where both are 2-tap and only the sampling-grid convention matters);
+    # downscale is compared loosely on a smooth gradient image.
+    smooth = np.broadcast_to(
+        np.linspace(0, 255, 51, dtype=np.float32)[None, :, None],
+        (37, 51, 3)).astype(np.uint8)
+    size = 24
+    out = resize_crop_normalize(smooth, size, (0, 0), (size, size), False)
+    ref = np.asarray(Image.fromarray(smooth).resize((size, size), Image.BILINEAR),
+                     np.float32)
+    ref = (ref / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    err = np.abs(out - ref).mean()
+    assert err < 0.05, f"downscale mean abs err {err}"
+    up = 64
+    out_up = resize_crop_normalize(img, up, (0, 0), (up, up), False)
+    ref_up = np.asarray(Image.fromarray(img).resize((up, up), Image.BILINEAR),
+                        np.float32)
+    ref_up = (ref_up / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(out_up, ref_up, atol=0.05)
+
+
 def test_node_filtered_loader(synth):
     """NodeFilteredLoader restricts to a node's leaves and remaps labels
     (ref ModifiedLabelLoader, util/data.py:77-123)."""

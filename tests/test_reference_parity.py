@@ -228,6 +228,43 @@ class TestHeadForwardParity:
                     err_msg=f"logits {name}")
 
 
+class TestJointDistributionParity:
+    @pytest.mark.parametrize("leave_out,tau", [
+        (None, 1.0),
+        (None, 0.5),
+        (["cub_003_Crested_Auklet"], 1.0),                      # leaf LOU
+        (["cub_007_Indigo_Bunting"], 0.5),                      # other branch
+        (["cub_001_Sooty_Albatross", "cub_007_Indigo_Bunting"], 1.0),
+    ])
+    def test_decode_matches_reference(self, ref, setup, leave_out, tau):
+        """joint_leaf_log_distribution == the REAL recursive
+        distribution_over_furthest_descendents (util/node.py:300-395),
+        including the leave-out-class short-circuit (:319-326)."""
+        from pipnet_tpu.models.pipnet import joint_leaf_log_distribution
+
+        tree = setup.tree
+        rng = np.random.default_rng(7)
+        B = 4
+        logits = rng.uniform(0.0, 3.0, (B, tree.num_children_total)).astype(np.float32)
+        out = {}
+        for ni, name in enumerate(tree.node_names):
+            cs = tree.node_child_slice(ni)
+            out[name] = torch.tensor(logits[:, cs])
+        bottom = setup.ref_root.distribution_over_furthest_descendents(
+            net=None, batch_size=B, out=out, leave_out_classes=leave_out,
+            apply_overspecificity_mask=False, device="cpu", softmax_tau=tau)
+        names = setup.ref_root.unwrap_names_of_joint(
+            setup.ref_root.names_of_joint_distribution())
+        idx = np.argsort(names)
+        ref_dist = bottom.detach().numpy()[:, idx]             # sorted-class order
+
+        lo_idx = ([tree.class_names.index(c) for c in leave_out]
+                  if leave_out else None)
+        ours = np.exp(np.asarray(joint_leaf_log_distribution(
+            jnp.asarray(logits), tree, softmax_tau=tau, leave_out_idx=lo_idx)))
+        np.testing.assert_allclose(ours, ref_dist, atol=1e-5)
+
+
 def _ref_args():
     import argparse
     return argparse.Namespace(
