@@ -118,6 +118,9 @@ class TrainConfig:
     # "off" reproduces that; "on" applies the intended +0.01 to weights <=1e-3.
     weight_reactivation: str = "off"
     data_parallel: int = 1               # number of data-parallel shards (mesh size)
+    # device-side transform2 (ops/device_augment): the CARS recipe uses the
+    # Solarize/Color space (TrivialAugmentWideNoShapeWithColor)
+    device_augment_cars: bool = False
 
 
 @dataclass(frozen=True)

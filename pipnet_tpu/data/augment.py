@@ -294,6 +294,20 @@ class TwoViewTransform:
         shared = self.transform1(img, rng)
         return self.transform2(shared, rng), self.transform2(shared, rng)
 
+    @property
+    def supports_device_photometric(self) -> bool:
+        """transform2 can run on the device (ops/device_augment) for the
+        standard recipes; grayscale / disable_transform2 stay host-side."""
+        return not (self.disable_transform2 or self.grayscale)
+
+    def geometric_view(self, img: Image.Image, rng: np.random.Generator) -> np.ndarray:
+        """transform1 only, as uint8 HWC (crop_to, crop_to, 3) — the shared
+        geometric view shipped to the device, which derives BOTH photometric
+        views there (ops/device_augment.two_view_transform2).  4x smaller H2D
+        than one normalized f32 view and removes 2x per-view PIL photometric
+        work from the 1-core host."""
+        return np.asarray(self.transform1(img, rng).convert("RGB"), np.uint8)
+
 
 class EvalTransform:
     """transform_no_augment: Resize(size) -> normalize (ref util/data.py:762-766)."""

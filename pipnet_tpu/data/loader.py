@@ -36,17 +36,27 @@ class Batch:
 
 class TwoViewDataset:
     """(view1, view2, target) per sample (ref TwoAugSupervisedDataset,
-    util/data.py:880-901)."""
+    util/data.py:880-901).
 
-    def __init__(self, folder: ImageFolder, transform: TwoViewTransform):
+    ``device_photometric=True``: yields ONE shared geometric uint8 view
+    (``xs2 is None``); the jitted train step derives both photometric views on
+    the device (ops/device_augment) — the host-side transform2 is the 1-core
+    loader's bottleneck."""
+
+    def __init__(self, folder: ImageFolder, transform: TwoViewTransform,
+                 device_photometric: bool = False):
         self.folder = folder
         self.transform = transform
+        self.device_photometric = (device_photometric
+                                   and transform.supports_device_photometric)
 
     def __len__(self):
         return len(self.folder)
 
     def get(self, index: int, rng: np.random.Generator):
         img, target = self.folder.load(index)
+        if self.device_photometric:
+            return self.transform.geometric_view(img, rng), None, target
         v1, v2 = self.transform(img, rng)
         return v1, v2, target
 
@@ -261,6 +271,7 @@ def build_loaders(train_dir: str, test_dir: Optional[str], *,
                   grayscale: bool = False,
                   validation_size: float = 0.0,
                   num_workers: int = 1,
+                  device_photometric: bool = False,
                   num_hosts: int = 1, host_id: int = 0) -> Loaders:
     from .folder import scan_image_folder
 
@@ -311,10 +322,12 @@ def build_loaders(train_dir: str, test_dir: Optional[str], *,
     common = dict(seed=seed, num_hosts=num_hosts, host_id=host_id,
                   num_workers=num_workers)
     return Loaders(
-        train=Loader(TwoViewDataset(train_folder, tv), batch_size,
-                     weighted=weighted, keep_labels=keep,
+        train=Loader(TwoViewDataset(train_folder, tv,
+                                    device_photometric=device_photometric),
+                     batch_size, weighted=weighted, keep_labels=keep,
                      keep_indices=train_keep, **common),
-        train_pretraining=Loader(TwoViewDataset(pretrain_folder, tvp),
+        train_pretraining=Loader(TwoViewDataset(pretrain_folder, tvp,
+                                                device_photometric=device_photometric),
                                  batch_size_pretrain, weighted=weighted,
                                  keep_labels=keep, keep_indices=pretrain_keep,
                                  **common),

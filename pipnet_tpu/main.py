@@ -49,6 +49,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     add("--weighted_loss", action="store_true")
     add("--seed", type=int, default=1)
     add("--num_workers", type=int, default=8)
+    add("--device_augment", type=str, default="y",
+        help="run transform2 (photometric TrivialAugment + crop + normalize) "
+             "on the device (ops/device_augment); auto-disabled for "
+             "grayscale / disable_transform2 recipes")
     add("--bias", action="store_true")
     add("--add_on_bias", action="store_true")
     add("--phylo_config", type=str, default=None)
@@ -137,6 +141,7 @@ def run_pipnet(argv=None) -> int:
                                   use_pallas_head=args.use_pallas_head == "y",
                                   use_pallas_backbone=args.use_pallas_backbone == "y"),
         train=dataclasses.replace(cfg.train, data_parallel=args.data_parallel))
+    device_augment = args.device_augment == "y"
 
     from .runtime.profiling import enable_compilation_cache
     enable_compilation_cache()
@@ -161,7 +166,11 @@ def run_pipnet(argv=None) -> int:
         disable_transform2=cfg.disable_transform2,
         cars=dkw.get("cars", False), grayscale=dkw.get("grayscale", False),
         validation_size=cfg.validation_size, num_workers=cfg.num_workers,
+        device_photometric=device_augment,
         num_hosts=jax.process_count(), host_id=jax.process_index())
+    if dkw.get("cars", False):
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, device_augment_cars=True))
     ood_loaders = None
     if cfg.ood_dataset:
         otrain, otest, oproj, okw = resolve_dataset(cfg.ood_dataset, seed=cfg.train.seed)
@@ -170,6 +179,7 @@ def run_pipnet(argv=None) -> int:
             batch_size=cfg.train.batch_size,
             batch_size_pretrain=cfg.train.batch_size_pretrain,
             validation_size=cfg.validation_size, num_workers=cfg.num_workers,
+            device_photometric=device_augment,
             seed=cfg.train.seed)
 
     # tree: explicit phylogeny yaml, auto (synthetic bundles one), or flat

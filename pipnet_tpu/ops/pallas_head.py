@@ -65,14 +65,18 @@ def _plan_tiles(tree: TreeArrays, target: int = 512,
     return plans
 
 
-def _head_kernel(f_ref, k_ref, bd_ref, valid_ref, pf_ref,
+def _head_kernel(f_ref, k_ref, oh_ref, valid_ref, pf_ref,
                  pooled_ref, *, tau: float):
     """One (image, tile) cell: z = F @ K; segment softmax; spatial max-pool.
 
     f_ref:      (1, HW, D)    features of one image
     k_ref:      (D, TW)       kernel tile
-    bd_ref:     (TW, TW)      block-diagonal segment broadcast matrix
-                              (bd[i,j] = 1 iff i,j share a node)
+    oh_ref:     (TW, NS)      prototype->segment one-hot (NS = padded node
+                              count of the tile); per-segment sums and their
+                              broadcast-back are two SKINNY matmuls
+                              (TWxNS + NSxTW) instead of the earlier (TW,TW)
+                              block-diagonal, which cost as much MXU work as
+                              the conv itself
     valid_ref:  (1, TW)       1.0 for real prototype slots
     pf_ref:     (1, HW, TW)   softmaxed maps out
     pooled_ref: (1, 1, TW)    max-pooled out
@@ -86,9 +90,9 @@ def _head_kernel(f_ref, k_ref, bd_ref, valid_ref, pf_ref,
     c = jnp.max(z, axis=1, keepdims=True)
     e = jnp.exp(z - c)
     e = jnp.where(valid > 0, e, 0.0)
-    # per-segment sums broadcast back to columns: one matmul against the
-    # static block-diagonal ones matrix
-    denom = jnp.dot(e, bd_ref[:], preferred_element_type=jnp.float32)
+    oh = oh_ref[:]
+    seg = jnp.dot(e, oh, preferred_element_type=jnp.float32)      # (HW, NS)
+    denom = jnp.dot(seg, oh.T, preferred_element_type=jnp.float32)
     p = e / jnp.maximum(denom, 1e-18)
     pf_ref[0] = p.astype(pf_ref.dtype)
     pooled_ref[0, 0, :] = jnp.max(p, axis=0).astype(pooled_ref.dtype)
@@ -110,10 +114,11 @@ def _run_bucket(features2d: jnp.ndarray, kernel: jnp.ndarray,
     valid = np.zeros((1, span), np.float32)
     real = tree.proto_valid[off: off + min(span, tree.num_protos_padded - off)]
     valid[0, : len(real)] = real
-    bd = np.zeros((tw, tw), np.float32)
+    # per-tile prototype->segment one-hot, node axis padded to a full lane set
+    ns = max(128, -(-npt // 128) * 128)
+    oh = np.zeros((tw, ns), np.float32)
     for s in range(npt):
-        lo, hi = s * plan["width"], (s + 1) * plan["width"]
-        bd[lo:hi, lo:hi] = 1.0
+        oh[s * plan["width"]:(s + 1) * plan["width"], s] = 1.0
 
     grid = (B, ntiles)
     out_shape = (jax.ShapeDtypeStruct((B, HW, span), features2d.dtype),
@@ -124,7 +129,7 @@ def _run_bucket(features2d: jnp.ndarray, kernel: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, HW, D), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((D, tw), lambda b, j: (0, j)),
-            pl.BlockSpec((tw, tw), lambda b, j: (0, 0)),
+            pl.BlockSpec((tw, ns), lambda b, j: (0, 0)),
             pl.BlockSpec((1, tw), lambda b, j: (0, j)),
         ],
         out_specs=(
@@ -133,7 +138,7 @@ def _run_bucket(features2d: jnp.ndarray, kernel: jnp.ndarray,
         ),
         out_shape=out_shape,
         interpret=interpret,
-    )(features2d, k, jnp.asarray(bd), jnp.asarray(valid))
+    )(features2d, k, jnp.asarray(oh), jnp.asarray(valid))
     return pf, pooled[:, 0, :]
 
 
@@ -205,26 +210,36 @@ def make_fused_head(tree: TreeArrays, tau: float = 1.0,
         del pooled  # see below: max is recomputed from pf for dtype-safety
         g_pf, g_pooled = cts
         B, H, W, P = pf.shape
-        pf32 = pf.astype(jnp.float32)
+        # adjoint runs in the COMPUTE dtype (bf16 in training): the (B,H,W,P)
+        # cotangent tensors are ~0.7 GB each at flagship shape, and an f32
+        # adjoint pays 2x the HBM traffic for precision far below gradient
+        # noise (grad-parity guarded by
+        # tests/test_interp.py::test_fused_vjp_bf16_matches_xla)
+        ct = pf.dtype
         # route the pooled cotangent to the spatial argmax (ties split evenly,
         # matching jnp.max's VJP).  The max MUST be recomputed from pf itself:
-        # pf is stored in the compute dtype (bf16 in training) while the
-        # kernel's pooled output is f32, so `pf32 == pooled` almost never
-        # holds under bf16 rounding and would silently drop the pooled
-        # gradient (advisor finding, round 1).  Comparing pf against its own
-        # max is exact in any dtype and picks the same locations up to
-        # sub-rounding ties.
-        is_max = (pf32 == jnp.max(pf32, axis=(1, 2), keepdims=True)).astype(jnp.float32)
-        counts = jnp.maximum(is_max.sum(axis=(1, 2), keepdims=True), 1.0)
-        g_tot = g_pf.astype(jnp.float32) + is_max / counts * g_pooled[:, None, None, :]
-        # segment softmax adjoint
-        inner = (g_tot * pf32) @ jnp.asarray(onehot)            # (B,H,W,N)
-        dz = pf32 * (g_tot - inner @ jnp.asarray(onehot.T)) * (1.0 / tau)
+        # pf is stored in the compute dtype while the kernel's pooled output
+        # is f32, so `pf == pooled` almost never holds under bf16 rounding and
+        # would silently drop the pooled gradient (advisor finding, round 1).
+        # Comparing pf against its own max is exact in any dtype.
+        is_max = (pf == jnp.max(pf, axis=(1, 2), keepdims=True)).astype(ct)
+        counts = jnp.maximum(is_max.sum(axis=(1, 2), keepdims=True)
+                             .astype(jnp.float32), 1.0)
+        g_tot = g_pf.astype(ct) + (is_max / counts.astype(ct)
+                                   * g_pooled[:, None, None, :].astype(ct))
+        # segment softmax adjoint; per-node inner products accumulate in f32
+        # on the MXU (preferred_element_type), stored small (B,H,W,N)
+        oh = jnp.asarray(onehot, ct)
+        inner = jnp.matmul(g_tot * pf, oh,
+                           preferred_element_type=jnp.float32)   # (B,H,W,N)
+        dz = pf * (g_tot - jnp.matmul(inner.astype(ct), oh.T,
+                                      preferred_element_type=jnp.float32
+                                      ).astype(ct)) * jnp.asarray(1.0 / tau, ct)
         dz = dz.astype(features.dtype)
         f2 = features.reshape(-1, features.shape[-1])
         dz2 = dz.reshape(-1, P)
         dF = (dz2 @ kernel.T).reshape(features.shape)
-        dK = f2.T @ dz2
+        dK = jnp.matmul(f2.T, dz2, preferred_element_type=jnp.float32)
         return dF, dK.astype(kernel.dtype)
 
     fused.defvjp(fwd, bwd)

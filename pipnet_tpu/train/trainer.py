@@ -42,13 +42,15 @@ def _ood_chunks(ood_loader: Loader, start_epoch: int, size: int):
     while True:
         for b in ood_loader.epoch(ep):
             buf1.append(b.xs1)
-            buf2.append(b.xs2)
+            if b.xs2 is not None:       # None under device-side transform2
+                buf2.append(b.xs2)
             have += len(b.xs1)
             while have >= size:
                 x1 = np.concatenate(buf1) if len(buf1) > 1 else buf1[0]
-                x2 = np.concatenate(buf2) if len(buf2) > 1 else buf2[0]
-                yield x1[:size], x2[:size]
-                buf1, buf2 = [x1[size:]], [x2[size:]]
+                x2 = (np.concatenate(buf2) if len(buf2) > 1 else buf2[0]) if buf2 else None
+                yield x1[:size], (x2[:size] if x2 is not None else None)
+                buf1 = [x1[size:]]
+                buf2 = [x2[size:]] if x2 is not None else []
                 have = len(buf1[0])
         ep += 1
 
@@ -142,7 +144,8 @@ class Trainer:
             if ood_iter is not None:
                 ox1, ox2 = next(ood_iter)
                 xs1 = np.concatenate([xs1, ox1])
-                xs2 = np.concatenate([xs2, ox2])
+                if xs2 is not None:
+                    xs2 = np.concatenate([xs2, ox2])
                 ys = np.concatenate([ys, np.full(len(ox1), -1, ys.dtype)])
             if n_shards > 1 and len(ys) % n_shards:
                 # ragged FINAL batch only (reference keeps tails >= 20% of a
@@ -151,15 +154,17 @@ class Trainer:
                 keep = len(ys) - (len(ys) % n_shards)
                 if keep == 0:
                     continue    # tail smaller than the mesh: nothing to shard
-                xs1, xs2, ys = xs1[:keep], xs2[:keep], ys[:keep]
+                xs1, ys = xs1[:keep], ys[:keep]
+                xs2 = xs2[:keep] if xs2 is not None else None
             scalars = Scalars(
                 net_t=jnp.float32(net_t0 + i),
                 net_T=jnp.float32(max(net_T, 1)),
                 epoch_frac=jnp.float32((epoch - 1) + i / max(iters, 1)),  # train.py:322
                 align_pf_weight=jnp.float32(align_pf_w),
                 tanh_weight=jnp.float32(tanh_w))
-            xs1d, xs2d, ysd = (jax.device_put(xs1, bsh), jax.device_put(xs2, bsh),
-                               jax.device_put(ys, bsh))
+            xs1d = jax.device_put(xs1, bsh)
+            xs2d = jax.device_put(xs2, bsh) if xs2 is not None else None
+            ysd = jax.device_put(ys, bsh)
             self.state, metrics = step(self.state, xs1d, xs2d, ysd, scalars)
             n_steps += 1
             n_images += len(ys)
