@@ -200,6 +200,10 @@ def run_pipnet(argv=None) -> int:
         root = flat_tree(loaders.classes, cfg.model.num_features or 512)
     print(f"tree: {len(root.nodes_with_children())} internal nodes, "
           f"{len(root.leaves())} leaves")
+    try:
+        root.save_visualization(os.path.join(cfg.log_dir, "tree"))
+    except Exception as e:                      # viz is best-effort
+        print(f"tree visualization skipped: {e}")
 
     # model
     model, tree = build_pipnet(root, cfg.model,

@@ -252,7 +252,39 @@ class Trainer:
                                 self.state, epoch=epoch, phase="train")
         save_checkpoint(self.log.checkpoint_dir, "net_trained_last", self.state,
                         epoch=n_epochs, phase="train")
+        self._save_lr_curves(n_epochs)
         return {"train": info, "eval": last_eval}
+
+    def _save_lr_curves(self, n_epochs: int) -> None:
+        """lr_net.png / lr_class.png run artifacts (ref main.py:714-721).
+
+        The schedules are pure functions of the step counter, so the curves
+        are reconstructed exactly rather than recorded."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:                      # pragma: no cover
+            return
+        import os
+
+        from .optimizer import cosine_annealing, cosine_warm_restarts
+        cfg = self.cfg.train
+        spe = max(len(self.loaders.train), 1)
+        T = spe * max(n_epochs, 1)
+        t = np.arange(T)
+        lrs_net = np.asarray([float(cosine_annealing(
+            cfg.optim.lr_net, cfg.optim.lr_net / 100.0, float(i), float(T)))
+            for i in t[::max(1, T // 2000)]])
+        t0 = 5.0 if cfg.epochs <= 30 else 10.0     # main.py:504-507
+        lrs_cls = np.asarray([float(cosine_warm_restarts(
+            cfg.optim.lr, 1e-3, float(i) / spe, t0))
+            for i in t[::max(1, T // 2000)]])
+        for name, ys in (("lr_net", lrs_net), ("lr_class", lrs_cls)):
+            plt.clf()
+            plt.plot(ys)
+            plt.savefig(os.path.join(self.log.log_dir, f"{name}.png"))
+        plt.close("all")
 
     # -- eval ----------------------------------------------------------------
     def evaluate(self, loader: Loader, *, leave_out_classes=None,

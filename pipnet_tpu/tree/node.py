@@ -241,3 +241,25 @@ class Node:
         for child in self.children:
             out += child._print(depth + 1)
         return out
+
+    def save_visualization(self, path: str, fmt: str = "png") -> str:
+        """Render the tree with graphviz (ref util/node.py:470-482, minus the
+        hard-coded path and view=True).  Returns the written file; when the
+        ``dot`` binary is unavailable, writes the .gv source instead."""
+        import graphviz
+
+        graph = graphviz.Digraph(comment="Tree Visualization")
+
+        def walk(node):
+            graph.node(node.name)
+            for child in node.children:
+                walk(child)
+                graph.edge(node.name, child.name)
+
+        walk(self)
+        try:
+            return graph.render(filename=path, format=fmt, view=False,
+                                cleanup=True)
+        except graphviz.backend.ExecutableNotFound:
+            graph.save(path + ".gv")
+            return path + ".gv"

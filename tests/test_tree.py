@@ -175,3 +175,10 @@ class TestCompile:
         assert len(ta.buckets) == len(widths)
         # waste bounded
         assert ta.num_protos_padded <= 2 * int(ta.proto_valid.sum()) + 128
+
+
+def test_save_visualization(tiny_root, tmp_path):
+    """Graphviz tree rendering artifact (ref util/node.py:470-482)."""
+    import os
+    out = tiny_root.save_visualization(str(tmp_path / "tree"))
+    assert os.path.exists(out)
