@@ -427,3 +427,66 @@ class TestCalculateLossParity:
                  + os_losses["overspecificity"] + os_losses["mask_l1"])
         assert float(total) == pytest.approx(float(ref_loss), abs=2e-4), (
             "total loss mismatch — some term not reference-faithful")
+
+    def test_pretrain_phase(self, ref, setup):
+        """Pretrain-phase calculate_loss (align + uni + align_pf + tanh only;
+        no min-contrast -> the local EPS stays 1e-8) vs ours."""
+        from pipnet_tpu.losses import catalog as C
+        from pipnet_tpu.losses import make_tree_consts
+
+        tree = setup.tree
+        tc = make_tree_consts(tree)
+        args = _ref_args()
+        ys2 = np.concatenate([setup.ys1, setup.ys1])
+        feats_t = torch.tensor(np.moveaxis(setup.feats, -1, 1))
+        rpf, rpooled, rout = ref_head_forward(ref, setup, feats_t)
+        label2name = {i: c for i, c in enumerate(tree.class_names)}
+        label2name[-1] = "OOD"
+        ret = ref.train.calculate_loss(
+            epoch=1, net=types.SimpleNamespace(module=types.SimpleNamespace()),
+            additional_network_outputs={}, features=feats_t,
+            proto_features=rpf, pooled=rpooled, out=rout,
+            ys=torch.tensor(ys2),
+            align_weight=0.5, align_pf_weight=0.33, t_weight=5.0,
+            mm_weight=0.0, unif_weight=3.0, cl_weight=0.0,
+            OOD_loss_weight=0.0, orth_weight=0.0, cluster_desc_weight=0.0,
+            sep_desc_weight=0.0, subspace_sep_weight=0.0, byol_weight=0.0,
+            net_normalization_multiplier=torch.tensor(2.0),
+            pretrain=True, finetune=False, criterion=None,
+            train_iter=types.SimpleNamespace(set_postfix_str=lambda *a, **k: None),
+            print=True, EPS=1e-8, root=setup.ref_root,
+            label2name=label2name, node_accuracy=_node_accuracy(setup.ref_root),
+            OOD_loss_required=False, kernel_orth=False, tanh_desc=False,
+            align=True, uni=True, align_pf=True, tanh=True, minmaximize=False,
+            byol=False, train=False, args=args, device="cpu")
+        ref_loss = ret[0]
+
+        jfeats = jnp.asarray(setup.feats)
+        pf = np.zeros((len(ys2), setup.H, setup.W, tree.num_protos_padded),
+                      np.float32)
+        pooled = np.zeros((len(ys2), tree.num_protos_padded), np.float32)
+        for ni, name in enumerate(tree.node_names):
+            ps = tree.node_proto_slice(ni)
+            pf[..., ps] = np.moveaxis(rpf[name].detach().numpy(), 1, -1)
+            pooled[:, ps] = rpooled[name].detach().numpy()
+        jys = jnp.asarray(ys2)
+        a, u = C.align_and_uniform(jfeats, align=True, uni=True)
+        apf, _ = C.align_pf_loss(tc, jnp.asarray(pf), jys)
+        th, _ = C.tanh_loss(tc, jnp.asarray(pooled), jys, eps=1e-8)
+        total = 0.5 * a + 3.0 * u + 0.33 * apf + 5.0 * th
+        assert float(total) == pytest.approx(float(ref_loss), abs=2e-4)
+
+    def test_byol_regression_loss(self, ref, setup):
+        """byol_regression_loss vs the real regression_loss + usage pattern
+        (pipnet/train.py:887-893, 1414-1419)."""
+        from pipnet_tpu.losses.catalog import byol_regression_loss
+
+        rng = np.random.default_rng(11)
+        online = rng.standard_normal((12, 64)).astype(np.float32)
+        target = rng.standard_normal((12, 64)).astype(np.float32)
+        o1, o2 = np.split(online, 2)
+        t1, t2 = np.split(target, 2)
+        ref_val = (ref.train.regression_loss(torch.tensor(o1), torch.tensor(t2))
+                   + ref.train.regression_loss(torch.tensor(o2), torch.tensor(t1))) / 2.0
+        ours = byol_regression_loss(jnp.asarray(online), jnp.asarray(target))
+        assert float(ours) == pytest.approx(float(ref_val), abs=1e-5)

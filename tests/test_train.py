@@ -364,3 +364,38 @@ class TestWandbExport:
         assert rows[0]["train/node_wise/acc:root"] == 0.5
         assert "train/node_wise_tanh/root" not in rows[0]      # n.a skipped
         assert rows[1]["train/node_wise_tanh/root"] == 0.2
+
+
+class TestResNetTraining:
+    def test_resnet_train_step_with_bn(self, tiny_root):
+        """One full train step on a ResNet backbone: BatchNorm batch_stats
+        update through the jitted step + gradient pruning (BASELINE config #4
+        pairs ResNet-50 with threshold pruning; resnet18 keeps it CI-sized)."""
+        from pipnet_tpu.train import (Scalars, StepStatics, init_train_state,
+                                      make_train_step)
+        mcfg = ModelConfig(backbone="resnet18", image_size=48,
+                           num_protos_per_child=4,
+                           head=HeadConfig(softmax_tau=1.0, protopool=False))
+        model, tree = build_pipnet(tiny_root, mcfg)
+        cfg = RunConfig(model=mcfg, train=TrainConfig(
+            batch_size=4, optim=OptimConfig(),
+            loss=LossConfig(align=True, uni=False, tanh=True, weighted_ce=False)))
+        phase = phase_for_epoch(12, cfg.train, pretrain=False)
+        step = jax.jit(make_train_step(model, tree, cfg,
+                                       StepStatics(phase=phase, eta_min_net=5e-6)))
+        state = init_train_state(model, jax.random.PRNGKey(0),
+                                 jnp.zeros((2, 48, 48, 3)))
+        assert state.batch_stats, "resnet must carry BN batch_stats"
+        r = np.random.default_rng(3)
+        xs1 = jnp.asarray(r.standard_normal((4, 48, 48, 3)), jnp.float32)
+        xs2 = jnp.asarray(r.standard_normal((4, 48, 48, 3)), jnp.float32)
+        ys = jnp.asarray(r.integers(0, tree.num_classes, 4))
+        sc = Scalars(net_t=jnp.float32(0), net_T=jnp.float32(10),
+                     epoch_frac=jnp.float32(0), align_pf_weight=jnp.float32(5.0),
+                     tanh_weight=jnp.float32(2.0))
+        new_state, m = step(state, xs1, xs2, ys, sc)
+        assert np.isfinite(float(m["loss"]))
+        # BN running stats moved
+        old = jax.tree_util.tree_leaves(state.batch_stats)[0]
+        new = jax.tree_util.tree_leaves(new_state.batch_stats)[0]
+        assert not np.allclose(np.asarray(old), np.asarray(new))
