@@ -96,10 +96,8 @@ def run_device_only(args):
     xs2 = jnp.asarray(r.standard_normal((batch, image_size, image_size, 3)),
                       jnp.float32)
     ys = jnp.asarray(r.integers(0, num_classes, batch))
-    scalars = Scalars(net_t=jnp.float32(0), net_T=jnp.float32(10000),
-                      epoch_frac=jnp.float32(0.5),
-                      align_pf_weight=jnp.float32(5.0),
-                      tanh_weight=jnp.float32(2.0))
+    scalars = Scalars.make(net_t=0, net_T=10000, epoch_frac=0.5,
+                           align_pf_weight=5.0, tanh_weight=2.0)
 
     # warmup / compile.  NOTE: device-queue fencing uses an actual scalar
     # fetch because block_until_ready is unreliable over the axon tunnel.

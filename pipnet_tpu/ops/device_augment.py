@@ -28,7 +28,6 @@ Op algorithms (PIL sources):
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -76,17 +75,22 @@ def contrast(x, factor):
 
 def sharpness(x, factor):
     """ImageEnhance.Sharpness: degenerate = SMOOTH filter
-    ([1,1,1;1,5,1;1,1,1]/13), border pixels left unfiltered."""
+    ([1,1,1;1,5,1;1,1,1]/13), border pixels left unfiltered.
+
+    Batch-generic: x (..., H, W, C), spatial axes -3/-2."""
     k = jnp.asarray([[1., 1., 1.], [1., 5., 1.], [1., 1., 1.]]) / 13.0
+    h, w = x.shape[-3], x.shape[-2]
+    pad = [(0, 0)] * (x.ndim - 3) + [(1, 1), (1, 1), (0, 0)]
     # depthwise 3x3 via padding + 9 shifted adds (cheap, fuses on VPU)
-    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    xp = jnp.pad(x, pad, mode="edge")
     sm = jnp.zeros_like(x)
     for dy in range(3):
         for dx in range(3):
-            sm = sm + k[dy, dx] * xp[dy:dy + x.shape[0], dx:dx + x.shape[1], :]
+            sm = sm + k[dy, dx] * jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(xp, dy, dy + h, axis=-3),
+                dx, dx + w, axis=-2)
     sm = _u8(sm)
     # PIL leaves the 1-px border equal to the source
-    h, w = x.shape[0], x.shape[1]
     ii = jnp.arange(h)[:, None, None]
     jj = jnp.arange(w)[None, :, None]
     interior = (ii > 0) & (ii < h - 1) & (jj > 0) & (jj < w - 1)
@@ -112,32 +116,68 @@ def autocontrast(x, _=None):
     return jnp.where(hi > lo, jnp.clip(out, 0.0, 255.0), x)
 
 
-def _channel_histograms(x: jnp.ndarray) -> jnp.ndarray:
-    """(H, W, 3) float values in [0,255] -> (3, 256) histogram."""
-    v = x.astype(jnp.int32).reshape(-1, 3)
-    ids = v + jnp.arange(3)[None, :] * 256                   # (HW, 3)
-    h = jax.ops.segment_sum(jnp.ones_like(ids, jnp.float32).reshape(-1),
-                            ids.reshape(-1), num_segments=768)
-    return h.reshape(3, 256)
+def _nibble_onehots(x: jnp.ndarray):
+    """(B, H, W, 3) float on the u8 lattice -> high/low-nibble one-hots
+    (B, HW, 48) bf16 with slot c*16 + nibble (channel-major).
+
+    TPU has no fast gather/scatter, so both the per-channel histogram AND the
+    LUT application of equalize are expressed as MXU matmuls over 16-wide
+    one-hots of the two nibbles of each pixel (v = 16*hi + lo):
+    histogram[hi, lo] = OhiT @ Olo; lut lookup = (Ohi @ L) . Olo.  The three
+    channels ride one 48-wide axis so the contraction tiles are not
+    degenerate (the 3x16x16 off-channel blocks are computed and discarded —
+    trivial next to the conv FLOPs they replace)."""
+    B, H, W, C = x.shape
+    v = x.reshape(B, H * W, C).astype(jnp.int32)
+    hi, lo = v >> 4, v & 15
+    iota = jnp.arange(16, dtype=jnp.int32)
+    ohi = (hi[..., None] == iota).reshape(B, H * W, 3 * 16).astype(jnp.bfloat16)
+    olo = (lo[..., None] == iota).reshape(B, H * W, 3 * 16).astype(jnp.bfloat16)
+    return ohi, olo
+
+
+def equalize_batch(x: jnp.ndarray) -> jnp.ndarray:
+    """PIL ImageOps.equalize over a batch (B, H, W, 3): per channel,
+    step = (npixels - count(last nonzero bin)) // 255;
+    lut[i] = clip((step//2 + cumsum_excl(h)[i]) // step); identity if step==0.
+
+    Histogram and LUT application run as one-hot matmuls (_nibble_onehots) —
+    the earlier per-image segment_sum + table gather was the single slowest
+    device-augment op on TPU."""
+    B, H, W, _ = x.shape
+    ohi, olo = _nibble_onehots(x)
+    # per-channel histograms: diagonal (c, c) 16x16 blocks of the (48, 48)
+    # one-hot gram matrix; counts <= HW fit f32 exactly
+    g = jnp.einsum("bpx,bpy->bxy", ohi, olo,
+                   preferred_element_type=jnp.float32)        # (B, 48, 48)
+    g5 = g.reshape(B, 3, 16, 3, 16)
+    h = jnp.stack([g5[:, c, :, c, :] for c in range(3)], 1).reshape(B, 3, 256)
+    nz = h > 0
+    last_idx = 255 - jnp.argmax(nz[:, :, ::-1], axis=2)       # (B, 3)
+    last_cnt = jnp.take_along_axis(h, last_idx[..., None], axis=2)[..., 0]
+    total = h.sum(axis=2)
+    step = jnp.floor((total - last_cnt) / 255.0)              # (B, 3)
+    csum = jnp.cumsum(h, axis=2) - h                          # exclusive
+    lut = jnp.clip(jnp.floor((jnp.floor(step[..., None] / 2.0) + csum)
+                             / jnp.maximum(step[..., None], 1.0)), 0.0, 255.0)
+    ident = (step <= 0) | (nz.sum(axis=2) <= 1)               # (B, 3)
+    # block-diagonal (48, 48) LUT; values <= 255 are exact in bf16
+    lfull = jnp.zeros((B, 3, 16, 3, 16), jnp.float32)
+    lut4 = lut.reshape(B, 3, 16, 16)
+    for c in range(3):
+        lfull = lfull.at[:, c, :, c, :].set(lut4[:, c])
+    lfull = lfull.reshape(B, 48, 48).astype(jnp.bfloat16)
+    t = jnp.einsum("bpx,bxy->bpy", ohi, lfull,
+                   preferred_element_type=jnp.float32)        # (B, HW, 48)
+    mapped = (t.reshape(B, H * W, 3, 16)
+              * olo.reshape(B, H * W, 3, 16).astype(jnp.float32)).sum(-1)
+    mapped = mapped.reshape(B, H, W, 3)
+    return jnp.where(ident[:, None, None, :], x, mapped)
 
 
 def equalize(x, _=None):
-    """PIL ImageOps.equalize: per channel,
-    step = (npixels - count(last nonzero bin)) // 255;
-    lut[i] = clip((step//2 + cumsum_excl(h)[i]) // step); identity if step==0."""
-    h = _channel_histograms(x)                               # (3, 256)
-    nz = h > 0
-    last_idx = 255 - jnp.argmax(nz[:, ::-1], axis=1)         # (3,)
-    last_cnt = jnp.take_along_axis(h, last_idx[:, None], axis=1)[:, 0]
-    total = h.sum(axis=1)
-    step = jnp.floor((total - last_cnt) / 255.0)             # (3,)
-    csum = jnp.cumsum(h, axis=1) - h                         # exclusive
-    lut = jnp.clip(jnp.floor((jnp.floor(step[:, None] / 2.0) + csum)
-                             / jnp.maximum(step[:, None], 1.0)), 0.0, 255.0)
-    ident = (step <= 0) | (nz.sum(axis=1) <= 1)
-    idx = x.astype(jnp.int32)                                # (H, W, 3)
-    mapped = jnp.stack([lut[c][idx[..., c]] for c in range(3)], axis=-1)
-    return jnp.where(ident[None, None, :], x, mapped)
+    """Single-image (H, W, 3) wrapper over ``equalize_batch``."""
+    return equalize_batch(x[None])[0]
 
 
 # ---------------------------------------------------------------------------
@@ -175,33 +215,50 @@ def sample_photometric(rng: jax.Array, batch: int, cars: bool = False
     return op, mag
 
 
+def _apply_all_select(x: jnp.ndarray, op: jnp.ndarray, mag: jnp.ndarray,
+                      cars: bool) -> jnp.ndarray:
+    """Apply TrivialAugment over a batch: every op computed on the FULL batch
+    (vectorized, per-image magnitudes broadcast), then a per-image select.
+
+    A ``vmap(lax.switch)`` computes all branches per image anyway (different
+    lanes need different branches), but as B tiny per-image kernels per op;
+    this formulation runs 9 large batched kernels instead — measured 176 ms
+    -> a few ms per train step at flagship shape."""
+    names, _, _ = _space_tables(cars)
+    m = mag.reshape(-1, 1, 1, 1)
+    f = 1.0 + m
+    out = x
+    for i, n in enumerate(names):
+        if n == "Identity":
+            continue
+        elif n == "Brightness":
+            o = brightness(x, f)
+        elif n == "Color":
+            o = color(x, f)
+        elif n == "Contrast":
+            o = contrast(x, f)
+        elif n == "Sharpness":
+            o = sharpness(x, f)
+        elif n == "Posterize":
+            o = posterize(x, jnp.clip(m.astype(jnp.int32), 0, 8))
+        elif n == "Solarize":
+            o = solarize(x, m)
+        elif n == "AutoContrast":
+            o = autocontrast(x)
+        elif n == "Equalize":
+            o = equalize_batch(x)
+        else:  # pragma: no cover
+            raise ValueError(n)
+        out = jnp.where((op == i).reshape(-1, 1, 1, 1), o, out)
+    return out
+
+
 def _apply_one(x: jnp.ndarray, op: jnp.ndarray, mag: jnp.ndarray,
                cars: bool) -> jnp.ndarray:
     """Apply the selected op to ONE image (H, W, 3) float [0,255]."""
-    names, _, _ = _space_tables(cars)
-    branches = []
-    for n in names:
-        if n == "Identity":
-            branches.append(lambda x, m: x)
-        elif n == "Brightness":
-            branches.append(lambda x, m: brightness(x, 1.0 + m))
-        elif n == "Color":
-            branches.append(lambda x, m: color(x, 1.0 + m))
-        elif n == "Contrast":
-            branches.append(lambda x, m: contrast(x, 1.0 + m))
-        elif n == "Sharpness":
-            branches.append(lambda x, m: sharpness(x, 1.0 + m))
-        elif n == "Posterize":
-            branches.append(lambda x, m: posterize(x, m.astype(jnp.int32)))
-        elif n == "Solarize":
-            branches.append(lambda x, m: solarize(x, m))
-        elif n == "AutoContrast":
-            branches.append(lambda x, m: autocontrast(x))
-        elif n == "Equalize":
-            branches.append(lambda x, m: equalize(x))
-        else:  # pragma: no cover
-            raise ValueError(n)
-    return jax.lax.switch(op, branches, x, mag)
+    return _apply_all_select(x[None], jnp.reshape(op, (1,)),
+                             jnp.reshape(mag, (1,)).astype(jnp.float32),
+                             cars)[0]
 
 
 def photometric_batch(x_u8: jnp.ndarray, rng: jax.Array, cars: bool = False
@@ -211,7 +268,7 @@ def photometric_batch(x_u8: jnp.ndarray, rng: jax.Array, cars: bool = False
     B = x_u8.shape[0]
     op, mag = sample_photometric(rng, B, cars)
     x = x_u8.astype(jnp.float32)
-    return jax.vmap(functools.partial(_apply_one, cars=cars))(x, op, mag)
+    return _apply_all_select(x, op, mag, cars)
 
 
 def random_crop_batch(x: jnp.ndarray, rng: jax.Array, out_size: int) -> jnp.ndarray:

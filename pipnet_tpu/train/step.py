@@ -51,15 +51,44 @@ class StepStatics:
 
 
 class Scalars(NamedTuple):
-    """Traced per-step scalars (no recompiles across steps/epochs)."""
-    net_t: jnp.ndarray           # net scheduler step count (float)
-    net_T: jnp.ndarray           # net scheduler horizon
-    epoch_frac: jnp.ndarray      # classifier fractional epoch (warm restarts)
-    align_pf_weight: jnp.ndarray # pretrain ramp epoch/nr_epochs or 5.0
-    tanh_weight: jnp.ndarray
-    # NOTE: no `epoch` field — epoch-dependent gating is STATIC (StepStatics.
-    # mask_prune_active), compiled per phase; a traced epoch here was a trap
-    # (round-1 judge weak #6: anyone reading it got a stale constant)
+    """Traced per-step scalars (no recompiles across steps/epochs), packed
+    into ONE (5,) f32 array: a step dispatch then ships a single small
+    argument buffer instead of five — each host->device transfer over the
+    tunneled TPU costs ~15 ms of pure latency, so five per-step scalar
+    transfers were ~25% of a train step.
+
+    Construct with ``Scalars.make(net_t=..., ...)`` (host, numpy); read via
+    the named properties (traced).
+    NOTE: no `epoch` field — epoch-dependent gating is STATIC (StepStatics.
+    mask_prune_active), compiled per phase; a traced epoch here was a trap
+    (round-1 judge weak #6: anyone reading it got a stale constant)."""
+    vec: jnp.ndarray             # (5,) f32
+
+    @classmethod
+    def make(cls, *, net_t, net_T, epoch_frac, align_pf_weight, tanh_weight):
+        import numpy as np
+        return cls(np.asarray([net_t, net_T, epoch_frac, align_pf_weight,
+                               tanh_weight], np.float32))
+
+    @property
+    def net_t(self):             # net scheduler step count (float)
+        return self.vec[0]
+
+    @property
+    def net_T(self):             # net scheduler horizon
+        return self.vec[1]
+
+    @property
+    def epoch_frac(self):        # classifier fractional epoch (warm restarts)
+        return self.vec[2]
+
+    @property
+    def align_pf_weight(self):   # pretrain ramp epoch/nr_epochs or 5.0
+        return self.vec[3]
+
+    @property
+    def tanh_weight(self):
+        return self.vec[4]
 
 
 def init_train_state(model: PIPNet, rng: jax.Array, sample: jnp.ndarray) -> TrainState:
@@ -102,7 +131,14 @@ def make_train_step(model: PIPNet, tree: TreeArrays, cfg: RunConfig,
     ocfg = cfg.train.optim
     ph = statics.phase
 
-    def step(state: TrainState, xs1, xs2, ys, scalars: Scalars):
+    def step(state: TrainState, xs1, xs2, ys, scalars: Scalars, acc=None):
+        """One optimizer step.  ``acc``: optional running metric totals (the
+        same pytree a previous call returned) — when given, the returned
+        metrics are ``acc + this step's metrics``, so an epoch's totals
+        accumulate ON DEVICE and the host fetches them once per epoch.
+        Fetching the ~20-leaf metrics dict every step costs ~25 ms of tunnel
+        latency PER LEAF on remote-TPU setups and serialized host and device
+        (measured 102 img/s end-to-end vs 331 device-only)."""
         rng, drop_rng, loss_rng, aug_rng = jax.random.split(state.rng, 4)
         if xs1.dtype == jnp.uint8:
             # device-side transform2: xs1 is the shared geometric uint8 view
@@ -233,6 +269,9 @@ def make_train_step(model: PIPNet, tree: TreeArrays, cfg: RunConfig,
                 metrics[f"loss/{k}"] = v
             else:
                 metrics[f"per_node/{k}"] = v
+        if acc is not None:
+            metrics = jax.tree_util.tree_map(
+                lambda a, m: a + m.astype(a.dtype), acc, metrics)
 
         new_byol = state.byol
         if byol_active:

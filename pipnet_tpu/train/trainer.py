@@ -86,7 +86,8 @@ class Trainer:
                statics.eta_min_net, statics.t0_cls, statics.weight_reactivation)
         if key not in self._step_cache:
             fn = make_train_step(self.model, self.tree, self.cfg, statics)
-            self._step_cache[key] = jax.jit(fn, donate_argnums=(0,))
+            # donate the state AND the metric accumulator (both round-trip)
+            self._step_cache[key] = (jax.jit(fn, donate_argnums=(0, 5)), fn)
         return self._step_cache[key]
 
     # -- epochs --------------------------------------------------------------
@@ -106,7 +107,7 @@ class Trainer:
             t0_cls=5.0 if cfg.epochs <= 30 else 10.0,   # main.py:504-507
             weight_reactivation=cfg.weight_reactivation == "on",
         )
-        step = self._get_step(statics)
+        step, raw_step = self._get_step(statics)
 
         iters = len(loader)
         nr_epochs = cfg.epochs_pretrain if pretrain else cfg.epochs
@@ -139,7 +140,24 @@ class Trainer:
                     f"batch {loader.batch_size}+OOD to {n_shards} shards")
             ood_iter = _ood_chunks(ood_loader, epoch, ood_bs)
 
-        for i, batch in enumerate(loader.epoch(epoch)):
+        # Epoch metric totals accumulate ON DEVICE (the step's `acc` argument
+        # sums the ~20-leaf metrics dict into the previous totals); the host
+        # fetches them ONCE after the epoch.  Per-step device_get of every
+        # leaf cost ~25 ms tunnel latency each and serialized host and device
+        # (102 img/s end-to-end vs 331 device-only, round-2 measurement).
+        acc = None
+        # PIPNET_EPOCH_TIMING=1: print a wait/put/dispatch breakdown after the
+        # epoch (diagnoses host-loader vs tunnel-transfer vs device bottlenecks)
+        import os
+        timing = os.environ.get("PIPNET_EPOCH_TIMING") == "1"
+        t_wait = t_put = t_disp = 0.0
+        t_mark = time.perf_counter()
+        batches = loader.epoch(epoch)
+        for i, batch in enumerate(batches):
+            if timing:
+                t_now = time.perf_counter()
+                t_wait += t_now - t_mark
+                t_mark = t_now
             xs1, xs2, ys = batch.xs1, batch.xs2, batch.ys
             if ood_iter is not None:
                 ox1, ox2 = next(ood_iter)
@@ -156,19 +174,49 @@ class Trainer:
                     continue    # tail smaller than the mesh: nothing to shard
                 xs1, ys = xs1[:keep], ys[:keep]
                 xs2 = xs2[:keep] if xs2 is not None else None
-            scalars = Scalars(
-                net_t=jnp.float32(net_t0 + i),
-                net_T=jnp.float32(max(net_T, 1)),
-                epoch_frac=jnp.float32((epoch - 1) + i / max(iters, 1)),  # train.py:322
-                align_pf_weight=jnp.float32(align_pf_w),
-                tanh_weight=jnp.float32(tanh_w))
+            scalars = Scalars.make(
+                net_t=net_t0 + i,
+                net_T=max(net_T, 1),
+                epoch_frac=(epoch - 1) + i / max(iters, 1),   # train.py:322
+                align_pf_weight=align_pf_w,
+                tanh_weight=tanh_w)
+            if acc is None:
+                # zero totals in the step's own metric structure (host-side
+                # shapes only; the zeros ship with the first dispatch)
+                out_sds = jax.eval_shape(
+                    raw_step,
+                    jax.tree_util.tree_map(
+                        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                        self.state),
+                    jax.ShapeDtypeStruct(xs1.shape, xs1.dtype),
+                    (jax.ShapeDtypeStruct(xs2.shape, xs2.dtype)
+                     if xs2 is not None else None),
+                    jax.ShapeDtypeStruct(ys.shape, ys.dtype),
+                    jax.tree_util.tree_map(
+                        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                        scalars))
+                acc = jax.tree_util.tree_map(
+                    lambda sd: np.zeros(sd.shape, sd.dtype), out_sds[1])
             xs1d = jax.device_put(xs1, bsh)
             xs2d = jax.device_put(xs2, bsh) if xs2 is not None else None
             ysd = jax.device_put(ys, bsh)
-            self.state, metrics = step(self.state, xs1d, xs2d, ysd, scalars)
+            if timing:
+                t_now = time.perf_counter()
+                t_put += t_now - t_mark
+                t_mark = t_now
+            self.state, acc = step(self.state, xs1d, xs2d, ysd, scalars, acc)
             n_steps += 1
             n_images += len(ys)
-            metrics = jax.device_get(metrics)
+            if timing:
+                t_now = time.perf_counter()
+                t_disp += t_now - t_mark
+                t_mark = t_now
+
+        if timing:
+            print(f"[epoch-timing] steps={n_steps} wait={t_wait*1e3:.0f}ms "
+                  f"put={t_put*1e3:.0f}ms dispatch={t_disp*1e3:.0f}ms", flush=True)
+        if acc is not None:
+            metrics = jax.device_get(acc)
             fine_correct += int(metrics.pop("fine_correct"))
             n_fine += int(metrics.pop("n_fine"))
             node_correct += np.asarray(metrics.pop("node_correct"), np.int64)
@@ -309,25 +357,32 @@ class Trainer:
                                                  if leave_out_idx is not None else None))
         else:
             step = self.eval_step
-        top1 = top5 = n = 0
-        rng = jax.random.PRNGKey(0)
-        for batch in loader.epoch(0):
-            rng, sub = jax.random.split(rng)
-            out = step(self.state.params, self.state.batch_stats,
-                       jnp.asarray(batch.xs1), jnp.asarray(batch.ys), sub)
-            logp = np.asarray(out["log_joint"])
-            if leave_out_idx is not None:
-                keep = np.isin(batch.ys, leave_out_idx)
-                logp, ys = logp[keep], batch.ys[keep]
-            else:
-                ys = batch.ys
-            if len(ys) == 0:
-                continue
-            order = np.argsort(-logp, axis=-1)
-            top1 += int((order[:, 0] == ys).sum())
+        # top-1/5 counts accumulate ON DEVICE; one fetch at the end (per-batch
+        # device_get of the (B, C) joint distribution paid ~25 ms tunnel
+        # latency per leaf and serialized host and device — see run_epoch)
+        lo = (jnp.asarray(leave_out_idx) if leave_out_idx is not None else None)
+
+        @jax.jit
+        def count_batch(params, batch_stats, xs, ys, rng, acc):
+            out = step(params, batch_stats, xs, ys, rng)
+            logp = out["log_joint"]
             k = min(5, logp.shape[-1])
-            top5 += int((order[:, :k] == ys[:, None]).any(-1).sum())
-            n += len(ys)
+            _, top = jax.lax.top_k(logp, k)
+            mask = (jnp.ones(ys.shape, bool) if lo is None
+                    else jnp.isin(ys, lo))
+            t1 = jnp.sum((top[:, 0] == ys) & mask)
+            t5 = jnp.sum(jnp.any(top == ys[:, None], axis=1) & mask)
+            return (acc[0] + t1, acc[1] + t5, acc[2] + jnp.sum(mask))
+
+        acc = (np.int32(0), np.int32(0), np.int32(0))
+        # pre-split host-side: per-batch jax.random.split was a device op
+        subs = np.asarray(jax.random.split(jax.random.PRNGKey(0),
+                                           max(len(loader), 1)))
+        for i, batch in enumerate(loader.epoch(0)):
+            acc = count_batch(self.state.params, self.state.batch_stats,
+                              jnp.asarray(batch.xs1), jnp.asarray(batch.ys),
+                              subs[min(i, len(subs) - 1)], acc)
+        top1, top5, n = (int(v) for v in jax.device_get(acc))
         return {"top1": top1 / max(n, 1), "top5": top5 / max(n, 1), "n": n}
 
     # per-node CSV columns (fixed, "n.a" when a loss is inactive in a phase —

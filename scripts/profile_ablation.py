@@ -72,9 +72,8 @@ def main():
                         weighted_ce=True)))
     phase = phase_for_epoch(20, cfg.train, pretrain=False)
     step = jax.jit(make_train_step(model, tree, cfg, StepStatics(phase=phase, eta_min_net=5e-6)))
-    sc = Scalars(net_t=jnp.float32(0), net_T=jnp.float32(1e4), epoch_frac=jnp.float32(0.5),
-                 align_pf_weight=jnp.float32(5.0), tanh_weight=jnp.float32(2.0),
-                 epoch=jnp.float32(20))
+    sc = Scalars.make(net_t=0, net_T=1e4, epoch_frac=0.5,
+                      align_pf_weight=5.0, tanh_weight=2.0)
     xs1, xs2 = xs[:B], xs[B:]
     ys = jnp.asarray(rng.integers(0, 190, B))
 

@@ -242,9 +242,8 @@ class TestBYOL:
         xs1 = jnp.asarray(rng.standard_normal((4, 48, 48, 3)), jnp.float32)
         xs2 = jnp.asarray(rng.standard_normal((4, 48, 48, 3)), jnp.float32)
         ys = jnp.asarray(rng.integers(0, 4, 4))
-        sc = Scalars(net_t=jnp.float32(0), net_T=jnp.float32(100),
-                     epoch_frac=jnp.float32(0), align_pf_weight=jnp.float32(0.5),
-                     tanh_weight=jnp.float32(5.0))
+        sc = Scalars.make(net_t=0, net_T=100, epoch_frac=0,
+                          align_pf_weight=0.5, tanh_weight=5.0)
         new_state, metrics = step(state, xs1, xs2, ys, sc)
         assert "loss/byol" in metrics and np.isfinite(float(metrics["loss/byol"]))
         # target projector moved toward the (trained) online projector (tau < 1)
@@ -278,9 +277,8 @@ class TestDataParallelDeterminism:
         xs1 = rng.standard_normal((8, 48, 48, 3)).astype(np.float32)
         xs2 = rng.standard_normal((8, 48, 48, 3)).astype(np.float32)
         ys = rng.integers(0, tree.num_classes, 8)
-        sc = Scalars(net_t=jnp.float32(0), net_T=jnp.float32(10),
-                     epoch_frac=jnp.float32(0), align_pf_weight=jnp.float32(5.0),
-                     tanh_weight=jnp.float32(2.0))
+        sc = Scalars.make(net_t=0, net_T=10, epoch_frac=0,
+                          align_pf_weight=5.0, tanh_weight=2.0)
         losses = {}
         for n_dev in (1, 8):
             mesh = Mesh(np.asarray(jax.devices()[:n_dev]), axis_names=("data",))
@@ -390,9 +388,8 @@ class TestResNetTraining:
         xs1 = jnp.asarray(r.standard_normal((4, 48, 48, 3)), jnp.float32)
         xs2 = jnp.asarray(r.standard_normal((4, 48, 48, 3)), jnp.float32)
         ys = jnp.asarray(r.integers(0, tree.num_classes, 4))
-        sc = Scalars(net_t=jnp.float32(0), net_T=jnp.float32(10),
-                     epoch_frac=jnp.float32(0), align_pf_weight=jnp.float32(5.0),
-                     tanh_weight=jnp.float32(2.0))
+        sc = Scalars.make(net_t=0, net_T=10, epoch_frac=0,
+                          align_pf_weight=5.0, tanh_weight=2.0)
         new_state, m = step(state, xs1, xs2, ys, sc)
         assert np.isfinite(float(m["loss"]))
         # BN running stats moved
