@@ -165,7 +165,8 @@ def run_e2e(args):
         os.path.join(root_dir, "train"), os.path.join(root_dir, "test"),
         image_size=image_size, batch_size=args.batch,
         batch_size_pretrain=args.batch, seed=1, num_workers=2,
-        device_photometric=not args.host_augment)
+        device_photometric=not args.host_augment,
+        device_geometric=not args.host_augment)
     trainer = Trainer(model, tree, cfg, loaders)
     trainer.init_state()
     # epoch 0 warms the compile; epoch 1 is measured end-to-end

@@ -300,6 +300,13 @@ class TwoViewTransform:
         standard recipes; grayscale / disable_transform2 stay host-side."""
         return not (self.disable_transform2 or self.grayscale)
 
+    @property
+    def supports_device_geometric(self) -> bool:
+        """transform1 can ALSO run on the device (ops/device_geometric) for
+        the standard recipes — the host then only decodes + resizes (cached).
+        CARS keeps transform1 on the device too (only resize_to differs)."""
+        return self.supports_device_photometric
+
     def geometric_view(self, img: Image.Image, rng: np.random.Generator) -> np.ndarray:
         """transform1 only, as uint8 HWC (crop_to, crop_to, 3) — the shared
         geometric view shipped to the device, which derives BOTH photometric
@@ -307,6 +314,12 @@ class TwoViewTransform:
         than one normalized f32 view and removes 2x per-view PIL photometric
         work from the 1-core host."""
         return np.asarray(self.transform1(img, rng).convert("RGB"), np.uint8)
+
+    def base_view(self, img: Image.Image) -> np.ndarray:
+        """Resize(resize_to) only, as uint8 HWC — the deterministic base the
+        device-side transform1 (ops/device_geometric.transform1_batch) warps.
+        Deterministic per image, so the loader caches it across epochs."""
+        return np.asarray(resize(img, self.resize_to).convert("RGB"), np.uint8)
 
 
 class EvalTransform:

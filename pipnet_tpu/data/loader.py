@@ -41,19 +41,49 @@ class TwoViewDataset:
     ``device_photometric=True``: yields ONE shared geometric uint8 view
     (``xs2 is None``); the jitted train step derives both photometric views on
     the device (ops/device_augment) — the host-side transform2 is the 1-core
-    loader's bottleneck."""
+    loader's bottleneck.
+
+    ``device_geometric=True`` (implies device_photometric): yields the
+    deterministic resized BASE uint8 image; the device also runs transform1
+    (ops/device_geometric).  The base is cached in RAM (bounded by
+    ``cache_bytes``) so steady-state host work per sample is one array copy —
+    decode + PIL TrivialAugment shear/rotate (~5-8 ms/img) otherwise caps
+    end-to-end training at a fraction of device throughput."""
 
     def __init__(self, folder: ImageFolder, transform: TwoViewTransform,
-                 device_photometric: bool = False):
+                 device_photometric: bool = False,
+                 device_geometric: bool = False,
+                 cache_bytes: int = 4 << 30):
         self.folder = folder
         self.transform = transform
         self.device_photometric = (device_photometric
                                    and transform.supports_device_photometric)
+        self.device_geometric = (device_geometric and self.device_photometric
+                                 and transform.supports_device_geometric)
+        self._cache: dict = {}
+        self._cache_bytes = 0
+        self._cache_limit = cache_bytes
+        self._cache_lock = threading.Lock()
 
     def __len__(self):
         return len(self.folder)
 
+    def _base(self, index: int) -> np.ndarray:
+        with self._cache_lock:
+            hit = self._cache.get(index)
+        if hit is not None:
+            return hit
+        img, _ = self.folder.load(index)
+        base = self.transform.base_view(img)
+        with self._cache_lock:
+            if index not in self._cache and self._cache_bytes + base.nbytes <= self._cache_limit:
+                self._cache[index] = base
+                self._cache_bytes += base.nbytes
+        return base
+
     def get(self, index: int, rng: np.random.Generator):
+        if self.device_geometric:
+            return self._base(index), None, self.folder.targets[index]
         img, target = self.folder.load(index)
         if self.device_photometric:
             return self.transform.geometric_view(img, rng), None, target
@@ -272,6 +302,7 @@ def build_loaders(train_dir: str, test_dir: Optional[str], *,
                   validation_size: float = 0.0,
                   num_workers: int = 1,
                   device_photometric: bool = False,
+                  device_geometric: bool = False,
                   num_hosts: int = 1, host_id: int = 0) -> Loaders:
     from .folder import scan_image_folder
 
@@ -323,11 +354,13 @@ def build_loaders(train_dir: str, test_dir: Optional[str], *,
                   num_workers=num_workers)
     return Loaders(
         train=Loader(TwoViewDataset(train_folder, tv,
-                                    device_photometric=device_photometric),
+                                    device_photometric=device_photometric,
+                                    device_geometric=device_geometric),
                      batch_size, weighted=weighted, keep_labels=keep,
                      keep_indices=train_keep, **common),
         train_pretraining=Loader(TwoViewDataset(pretrain_folder, tvp,
-                                                device_photometric=device_photometric),
+                                                device_photometric=device_photometric,
+                                                device_geometric=device_geometric),
                                  batch_size_pretrain, weighted=weighted,
                                  keep_labels=keep, keep_indices=pretrain_keep,
                                  **common),

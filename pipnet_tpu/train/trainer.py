@@ -115,6 +115,17 @@ class Trainer:
         tanh_w = 5.0 if pretrain else 2.0                              # train.py:154,169
 
         bsh = batch_sharding(self.mesh)
+        n_mesh_devices = self.mesh.devices.size
+        if n_mesh_devices > 1:
+            def put(x):
+                return jax.device_put(x, bsh)
+        else:
+            # single-device put: a NamedSharding-annotated put goes through a
+            # sharded transfer path that costs ~1.2 s per 10 MB batch on the
+            # tunneled-TPU backend (measured 1503 vs 285 ms/step) — use the
+            # plain path when there is nothing to shard
+            def put(x):
+                return jax.device_put(x)
         totals: Dict[str, float] = {}
         per_node_sums: Dict[str, np.ndarray] = {}
         n_steps = 0
@@ -197,9 +208,9 @@ class Trainer:
                         scalars))
                 acc = jax.tree_util.tree_map(
                     lambda sd: np.zeros(sd.shape, sd.dtype), out_sds[1])
-            xs1d = jax.device_put(xs1, bsh)
-            xs2d = jax.device_put(xs2, bsh) if xs2 is not None else None
-            ysd = jax.device_put(ys, bsh)
+            xs1d = put(xs1)
+            xs2d = put(xs2) if xs2 is not None else None
+            ysd = put(ys)
             if timing:
                 t_now = time.perf_counter()
                 t_put += t_now - t_mark

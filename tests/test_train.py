@@ -396,3 +396,37 @@ class TestResNetTraining:
         old = jax.tree_util.tree_leaves(state.batch_stats)[0]
         new = jax.tree_util.tree_leaves(new_state.batch_stats)[0]
         assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+class TestFullDeviceAugmentStep:
+    def test_u8_base_train_step(self, tiny_root):
+        """One train step from the RESIZED BASE uint8 input: the step must
+        statically dispatch to device transform1 (TA-geo warp + flip + RRC,
+        ops/device_geometric) + transform2 and produce a finite loss."""
+        from pipnet_tpu.train import (Scalars, StepStatics, init_train_state,
+                                      make_train_step)
+        mcfg = ModelConfig(backbone="convnext_tiny_26", image_size=48,
+                           num_protos_per_child=4,
+                           head=HeadConfig(softmax_tau=1.0, protopool=False))
+        model, tree = build_pipnet(tiny_root, mcfg)
+        cfg = RunConfig(model=mcfg, train=TrainConfig(
+            batch_size=4, optim=OptimConfig(),
+            loss=LossConfig(align_pf=True, uni=False, tanh=True,
+                            weighted_ce=False)))
+        phase = phase_for_epoch(12, cfg.train, pretrain=False)
+        step = jax.jit(make_train_step(model, tree, cfg,
+                                       StepStatics(phase=phase, eta_min_net=5e-6)))
+        state = init_train_state(model, jax.random.PRNGKey(0),
+                                 jnp.zeros((2, 48, 48, 3)))
+        r = np.random.default_rng(5)
+        xs1 = jnp.asarray(r.integers(0, 256, (4, 56, 56, 3), dtype=np.uint8))
+        ys = jnp.asarray(r.integers(0, tree.num_classes, 4))
+        sc = Scalars.make(net_t=0, net_T=10, epoch_frac=0,
+                          align_pf_weight=5.0, tanh_weight=2.0)
+        new_state, m = step(state, xs1, None, ys, sc)
+        assert np.isfinite(float(m["loss"]))
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                            jax.tree_util.tree_leaves(new_state.params)))
+        assert moved, "no parameter moved after a train step"
