@@ -1,38 +1,36 @@
-"""Fused depthwise 7x7 convolution (Pallas, TPU).
+"""Depthwise 7x7 convolution kernel (the ConvNeXt block's dwconv).
 
-The ConvNeXt depthwise conv is the non-MXU cost of stages 1/2 (the MLP
-matmuls there are small, so XLA's conv lowering dominates the block: stage1
-runs at ~24% utilization while stages 3/4 sit at the matmul roofline —
-BENCH_NOTES round-2 audit).  This kernel computes the 7x7 depthwise conv for
-one image per grid cell entirely in VMEM:
+The standalone XLA ``conv_general_dilated(feature_group_count=C)`` costs
+3.4-5 ms at every ConvNeXt-26 stage shape while a depthwise conv is
+nominally memory-bound (~0.2 ms of HBM traffic at stage-1 shape): this
+kernel streams each image's halo-padded block through VMEM once and does
+the 49 taps as shifted multiply-accumulates on the VPU.
 
-* the halo-padded input lives in a VMEM scratch laid out (H, W, C) with C on
-  lanes and W on sublanes;
-* the 49 taps become H-slices (free) x ``pltpu.roll`` along the W sublanes
-  (cheap, lane-preserving) — the round-1 attempt's dynamically re-sliced
-  halo reads forced a Mosaic relayout per tap, which is why it lost to XLA
-  (ops/pallas_convnext.py STATUS note);
-* accumulation in f32 registers, one bf16 write.
+The backward pass reuses the same kernel: dL/dx is the depthwise conv of the
+padded cotangent with the spatially-flipped kernel; dL/dw is a 49-tap
+windowed reduction done as one fused XLA contraction per tap over the saved
+input (cheap: output is only (49, C)).
 
-Backward is exact: dx is the same kernel run with the spatially-flipped
-7x7 weights (stride-1 SAME self-adjointness); dk is a 49-tap reduction kernel
-accumulating (7, 8, C) weight gradients across the image grid in a revisited
-output block; db is a plain XLA sum.
+Exactness: identical (max |diff| == 0 in f32) to the XLA grouped conv —
+asserted in tests/test_pallas_dwconv.py for values and gradients.
 
-Reference counterpart: the torchvision ConvNeXt block's depthwise conv
-(features/convnext_features.py via torchvision CNBlock); numerics match
-``jax.lax.conv_general_dilated`` with feature_group_count=C to f32 accuracy
-(tests/test_interp.py::TestPallasDwConv).
+STATUS: experimental, OFF — a negative result, recorded so it is not
+re-attempted blindly.  Measured on v5e at stage-1 shape (128, 56², 96):
+XLA grouped fwd 3.7 ms vs this kernel 6.9 ms; in-graph (fused with the
+surrounding block) XLA's dwconv costs only ~2.5 ms/block fwd+bwd (measured
+by center-tap ablation over the whole backbone: 169.5 -> 124.8 ms fwd+bwd,
+i.e. ~45 ms across all 18 blocks).  The 49-tap VPU loop's floor
+(~1 T MAC/s -> ~2 ms fwd) cannot beat that by enough to matter, and two
+other formulations also lose: a banded-Toeplitz batched matmul
+(einsum "bhwc,cwo->bohc" per row-tap; 3.5-10.5 ms — XLA's batching
+transposes dominate) and a sublane-roll variant (Mosaic cannot lower
+dynamic_rotate on 3-D tiles).  The non-dwconv backbone fwd is AT the MXU
+roofline (34.8 ms measured vs ~33 ms FLOP floor at B=128), so the whole
+backbone has <= ~45 ms of theoretical headroom, reachable only with a
+dwconv at VPU/memory floor that no available lowering achieves here.
 
-STATUS: experimental, NOT wired into the model.  Measured on v5e-1 (B=128,
-bf16): XLA's conv lowering wins at every stage shape — fwd+bwd
-pallas/xla ms: stage1 21.0/5.9, stage2 10.8/6.3, stage3 15.3/5.5,
-stage4 33.1/6.5.  The 49 sublane rolls move ~65 MB/image through VMEM,
-which costs more than XLA's native conv pays in HBM.  Conclusion recorded
-so round 3 doesn't retry shift-based dwconv: the depthwise conv is NOT the
-stage-1/2 bottleneck (XLA does it in ~6 ms fwd+bwd); the remaining stage-1/2
-gap vs roofline is layout/padding-bound (C=96/192 lane padding), not
-conv-bound.
+This replaces the hot loop of the reference's torchvision ConvNeXt blocks
+(``features/convnext_features.py:7-42`` -> torchvision CNBlock).
 """
 
 from __future__ import annotations
@@ -45,114 +43,76 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fwd_kernel(x_ref, k_ref, out_ref, xpad_ref, *, H: int, W: int):
-    """x_ref (1,H,W,C) -> out_ref (1,H,W,C); k_ref (8,8,C) zero-padded 7x7.
+def dwconv_xla(x, kernel):
+    """Reference XLA grouped conv.  x (B, H, W, C), kernel (7, 7, C)."""
+    C = x.shape[-1]
+    return jax.lax.conv_general_dilated(
+        x, kernel.reshape(7, 7, 1, C), (1, 1), [(3, 3), (3, 3)],
+        feature_group_count=C, dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-    xpad_ref: VMEM scratch (H+6, Wp, C) f32 where Wp = W+6 rounded up to the
-    sublane multiple (zero-filled right edge acts as halo padding).
-    """
-    Wp = xpad_ref.shape[1]
-    xpad_ref[:] = jnp.zeros_like(xpad_ref)
-    xpad_ref[3:3 + H, 3:3 + W, :] = x_ref[0].astype(jnp.float32)
-    acc = jnp.zeros((H, Wp, x_ref.shape[-1]), jnp.float32)
+
+def _dw_kernel(xp_ref, k_ref, out_ref, *, H: int, W: int):
+    """One image per grid step.  xp_ref (1, H+6, W+6, C) halo-padded input,
+    k_ref (8, 8, C) sublane-padded 7x7 weights, out_ref (1, H, W, C)."""
+    acc = jnp.zeros((H, W, xp_ref.shape[-1]), jnp.float32)
     for dy in range(7):
-        slab = xpad_ref[dy:dy + H, :, :]
         for dx in range(7):
-            # left-shift by dx == roll right by Wp-dx (pltpu.roll requires a
-            # non-negative shift); wrapped columns land at >= Wp-dx >= W,
-            # outside the final [:, :W] take
-            shifted = pltpu.roll(slab, shift=Wp - dx, axis=1) if dx else slab
-            acc = acc + shifted * k_ref[dy, dx, :]
-    out_ref[0] = acc[:, :W, :].astype(out_ref.dtype)
+            acc += (xp_ref[0, dy:dy + H, dx:dx + W, :].astype(jnp.float32)
+                    * k_ref[dy, dx, :].astype(jnp.float32))
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _dk_kernel(x_ref, g_ref, dk_ref, xpad_ref, *, H: int, W: int):
-    """Weight gradient: dk[dy,dx,c] = sum_{b,h,w} xpad[h+dy, w+dx, c] * g[h,w,c].
-
-    Accumulates across the image grid in the revisited (8,8,C) output block.
-    """
-    b = pl.program_id(0)
-    Wp = xpad_ref.shape[1]
-    xpad_ref[:] = jnp.zeros_like(xpad_ref)
-    xpad_ref[3:3 + H, 3:3 + W, :] = x_ref[0].astype(jnp.float32)
-    g = jnp.pad(g_ref[0].astype(jnp.float32), ((0, 0), (0, Wp - W), (0, 0)))
-
-    @pl.when(b == 0)
-    def _():
-        dk_ref[:] = jnp.zeros_like(dk_ref)
-
-    for dy in range(7):
-        slab = xpad_ref[dy:dy + H, :, :]
-        for dx in range(7):
-            shifted = pltpu.roll(slab, shift=Wp - dx, axis=1) if dx else slab
-            dk_ref[dy, dx, :] += jnp.sum(shifted * g, axis=(0, 1))
-
-
-def _round_up(v: int, m: int) -> int:
-    return -(-v // m) * m
-
-
-def _dwconv_fwd_call(x: jnp.ndarray, k77c: jnp.ndarray, *, interpret: bool):
+def _dwconv_fwd_impl(x, kernel, *, interpret: bool = False):
     B, H, W, C = x.shape
-    kpad = jnp.zeros((8, 8, C), jnp.float32).at[:7, :7, :].set(
-        k77c.astype(jnp.float32))
-    Wp = _round_up(W + 6, 8)
+    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    kp = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0)))      # (8, 8, C)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, H=H, W=W),
+        functools.partial(_dw_kernel, H=H, W=W),
         grid=(B,),
-        in_specs=[pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0)),
-                  pl.BlockSpec((8, 8, C), lambda b: (0, 0, 0))],
+        in_specs=[
+            pl.BlockSpec((1, H + 6, W + 6, C), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((8, 8, C), lambda b: (0, 0, 0)),
+        ],
         out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        scratch_shapes=[pltpu.VMEM((H + 6, Wp, C), jnp.float32)],
         interpret=interpret,
-    )(x, kpad)
+    )(xp, kp)
 
 
-def _dwconv_dk_call(x: jnp.ndarray, g: jnp.ndarray, *, interpret: bool):
+def _dw_weight_grad(x, g):
+    """dL/dkernel (7, 7, C): per-tap windowed contraction
+    dw[dy, dx, c] = sum_{b,y,x} xp[b, y+dy, x+dx, c] · g[b, y, x, c]."""
     B, H, W, C = x.shape
-    Wp = _round_up(W + 6, 8)
-    dk = pl.pallas_call(
-        functools.partial(_dk_kernel, H=H, W=W),
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0)),
-                  pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0))],
-        out_specs=pl.BlockSpec((8, 8, C), lambda b: (0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((8, 8, C), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((H + 6, Wp, C), jnp.float32)],
-        interpret=interpret,
-    )(x, g)
-    return dk[:7, :7, :]
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (3, 3), (3, 3), (0, 0)))
+    g32 = g.astype(jnp.float32)
+    rows = []
+    for dy in range(7):
+        row = []
+        for dx in range(7):
+            win = jax.lax.dynamic_slice(xp, (0, dy, dx, 0), (B, H, W, C))
+            row.append(jnp.sum(win * g32, axis=(0, 1, 2)))
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)                                # (7, 7, C)
 
 
 @functools.lru_cache(maxsize=4)
-def make_dwconv7(interpret: bool = False):
-    """Returns ``dw(x (B,H,W,C), kernel (7,7,C)) -> (B,H,W,C)`` (SAME padding,
-    stride 1) with an exact custom VJP, all three passes as Pallas kernels."""
+def make_dwconv7x7(interpret: bool = False):
+    """Depthwise 7x7 'SAME' conv (B, H, W, C) with exact custom VJP."""
 
     @jax.custom_vjp
-    def dw(x, k):
-        return _dwconv_fwd_call(x, k, interpret=interpret)
+    def dwconv(x, kernel):
+        return _dwconv_fwd_impl(x, kernel, interpret=interpret)
 
-    def fwd(x, k):
-        return dw(x, k), (x, k)
+    def fwd(x, kernel):
+        return dwconv(x, kernel), (x, kernel)
 
     def bwd(res, g):
-        x, k = res
-        # input grad: conv of g with the spatially flipped kernel
-        dx = _dwconv_fwd_call(g.astype(x.dtype), k[::-1, ::-1, :],
-                              interpret=interpret)
-        dk = _dwconv_dk_call(x, g, interpret=interpret)
-        return dx, dk.astype(k.dtype)
+        x, kernel = res
+        g = g.astype(x.dtype)
+        # dx: depthwise conv of g with the spatially-flipped kernel
+        dx = _dwconv_fwd_impl(g, kernel[::-1, ::-1, :], interpret=interpret)
+        dw = _dw_weight_grad(x, g).astype(kernel.dtype)
+        return dx, dw
 
-    dw.defvjp(fwd, bwd)
-    return dw
-
-
-def dwconv7_xla(x: jnp.ndarray, k77c: jnp.ndarray) -> jnp.ndarray:
-    """Reference XLA composition (identical math)."""
-    C = x.shape[-1]
-    return jax.lax.conv_general_dilated(
-        x, k77c.reshape(7, 7, 1, C).astype(x.dtype), (1, 1),
-        [(3, 3), (3, 3)], feature_group_count=C,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    dwconv.defvjp(fwd, bwd)
+    return dwconv
