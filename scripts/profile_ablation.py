@@ -43,7 +43,8 @@ def main():
     mcfg = ModelConfig(backbone="convnext_tiny_26", image_size=S,
                        num_protos_per_child=10,
                        head=HeadConfig(softmax_tau=1.0, protopool=False),
-                       compute_dtype="bfloat16")
+                       compute_dtype="bfloat16", fast_gelu=True,
+                       use_pallas_head=True)
     model, tree = build_pipnet(root, mcfg, weighted=True)
     print(tree.summary(), flush=True)
 

@@ -122,6 +122,7 @@ class TestBatchTransform:
             _close(ours, theirs, tol=1.0)
 
 
+@pytest.mark.slow
 class TestDeviceAugmentTraining:
     def test_train_epoch_u8_pipeline(self, tmp_path):
         """Full epoch through the uint8 device-augment pipeline: loader ships

@@ -306,22 +306,3 @@ class TestOODMetrics:
         res = eval_ood(scores_id, ys, scores_ood, L)
         assert res["id_fraction_in_distribution"] > 0.9
         assert res["id_fraction_ood"] < 0.2
-
-
-class TestPallasDwConv:
-    def test_dwconv_matches_xla(self, rng):
-        """Experimental Pallas dwconv7 == lax conv (values + both grads),
-        interpret mode.  The kernel is not wired into the model (it measured
-        slower than XLA at every stage shape — see its STATUS note); the test
-        keeps the negative result honest and executable."""
-        from pipnet_tpu.ops.pallas_dwconv import dwconv7_xla, make_dwconv7
-        x = jnp.asarray(rng.standard_normal((2, 12, 12, 128)), jnp.float32)
-        k = jnp.asarray(rng.standard_normal((7, 7, 128)) * 0.1, jnp.float32)
-        dw = make_dwconv7(interpret=True)
-        np.testing.assert_allclose(np.asarray(dw(x, k)),
-                                   np.asarray(dwconv7_xla(x, k)), atol=1e-4)
-        gf = jax.grad(lambda x, k: jnp.sum(dw(x, k) ** 2), argnums=(0, 1))(x, k)
-        gx = jax.grad(lambda x, k: jnp.sum(dwconv7_xla(x, k) ** 2),
-                      argnums=(0, 1))(x, k)
-        for a, b in zip(gf, gx):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)

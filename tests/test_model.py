@@ -106,6 +106,7 @@ class TestForward:
         pooled = np.asarray(out["pooled"])
         assert ((pooled == 0) | (pooled >= cfg.head.inference_threshold)).all()
 
+    @pytest.mark.slow
     def test_resnet_backbone(self, tiny_root):
         model, tree, cfg = _tiny_model(tiny_root, image_size=64, backbone="resnet18")
         xs = jnp.zeros((2, 64, 64, 3))

@@ -168,6 +168,7 @@ class TestEndToEnd:
         np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
 
 
+@pytest.mark.slow
 class TestEvaluateDriver:
     def test_full_report(self, run_setup, tmp_path):
         """python -m pipnet_tpu.evaluate produces the complete report the
