@@ -34,6 +34,13 @@ def _to_saveable(state: TrainState) -> Dict[str, Any]:
 def save_checkpoint(checkpoint_dir: str, name: str, state: TrainState,
                     **extra) -> str:
     path = os.path.abspath(os.path.join(checkpoint_dir, name))
+    # force=True alone is not enough on this orbax version: the atomic
+    # tmp->final rename still collides with a prior checkpoint of the same
+    # name (seen when net_trained is re-saved every save_every epochs), so
+    # drop the stale directory first
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, _to_saveable(state), force=True)
     ckptr.wait_until_finished()
