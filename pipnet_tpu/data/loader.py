@@ -53,7 +53,13 @@ class TwoViewDataset:
     def __init__(self, folder: ImageFolder, transform: TwoViewTransform,
                  device_photometric: bool = False,
                  device_geometric: bool = False,
-                 cache_bytes: int = 4 << 30):
+                 cache_bytes: Optional[int] = None):
+        if cache_bytes is None:
+            # PIPNET_BASE_CACHE_MB caps the decoded-base RAM cache (per
+            # dataset instance); default 4 GiB ≈ CUB-scale train split at 232²
+            import os
+            cache_bytes = int(os.environ.get("PIPNET_BASE_CACHE_MB",
+                                             4096)) << 20
         self.folder = folder
         self.transform = transform
         self.device_photometric = (device_photometric

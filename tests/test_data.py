@@ -271,3 +271,39 @@ def test_node_filtered_loader(synth):
     expected = sum(int(tree.leaf_under_node[li, ni]) * 5
                    for li in range(tree.num_classes))
     assert seen == expected
+
+
+def test_device_geometric_loader_ships_cached_bases(synth):
+    """device_geometric mode: the train loader yields the deterministic
+    resized uint8 BASE (image_size + 8)² with xs2 None, and caches it (the
+    same array object returns on the second epoch)."""
+    from pipnet_tpu.data import build_loaders
+    train, test, _ = synth
+    loaders = build_loaders(train, test, image_size=48, batch_size=4,
+                            batch_size_pretrain=4, seed=1,
+                            device_photometric=True, device_geometric=True)
+    b1 = next(iter(loaders.train.epoch(0)))
+    assert b1.xs1.dtype == np.uint8
+    assert b1.xs1.shape[1:] == (56, 56, 3)          # 48 + 8
+    assert b1.xs2 is None
+    ds = loaders.train.dataset
+    assert ds.device_geometric
+    a = ds._base(0)
+    b = ds._base(0)
+    assert a is b                                    # cache hit
+    # pretraining loader bases are larger (48 + 32)
+    bp = next(iter(loaders.train_pretraining.epoch(0)))
+    assert bp.xs1.shape[1:] == (80, 80, 3)
+
+
+def test_device_geometric_cache_budget(synth, monkeypatch):
+    """PIPNET_BASE_CACHE_MB=0 disables caching without breaking loading."""
+    from pipnet_tpu.data import TwoViewDataset
+    from pipnet_tpu.data.augment import TwoViewTransform
+    train, _, _ = synth
+    monkeypatch.setenv("PIPNET_BASE_CACHE_MB", "0")
+    ds = TwoViewDataset(scan_image_folder(train), TwoViewTransform(48),
+                        device_photometric=True, device_geometric=True)
+    a = ds._base(0)
+    b = ds._base(0)
+    assert a is not b and np.array_equal(a, b)
