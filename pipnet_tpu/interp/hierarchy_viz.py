@@ -73,8 +73,20 @@ def make_heatmap_forward(model, tree: TreeArrays, params, batch_stats,
         for idx in image_indices:
             with Image.open(proj.paths[idx]) as im:
                 xs.append(tf(im.convert("RGB")))
-        out = step(params, batch_stats, jnp.asarray(np.stack(xs)))
-        return np.asarray(out["proto_features"])
+        batch = np.stack(xs)
+        # pad the leading dim to a power-of-two bucket: this function is
+        # called once per prototype with a data-dependent image count, and
+        # every DISTINCT batch size is a fresh XLA compile (~1 min at 224²;
+        # unbucketed, a 47-node gallery sweep spent hours compiling)
+        n = batch.shape[0]
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        if bucket != n:
+            batch = np.concatenate(
+                [batch, np.zeros((bucket - n, *batch.shape[1:]), batch.dtype)])
+        out = step(params, batch_stats, jnp.asarray(batch))
+        return np.asarray(out["proto_features"])[:n]
 
     return forward
 
