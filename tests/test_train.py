@@ -336,6 +336,48 @@ class TestOODDataParallel:
         assert np.isfinite(info["loss"])
         assert len(trainer._step_cache) == 1   # one shape -> one compile
 
+    def test_ood_epoch_8shards_device_geometric(self, tmp_path):
+        """Same 8-shard OOD epoch through the FULL device-augment path: the
+        loaders ship resized uint8 bases (ID and OOD at the same base size),
+        the step runs transform1+2 on each shard, and the combined batch
+        still aligns to the mesh."""
+        root = str(tmp_path)
+        train_dir, test_dir, phy = generate_synthetic_dataset(
+            root + "/id", num_classes=6, images_per_class=8, image_size=48)
+        otrain, otest, _ = generate_synthetic_dataset(
+            root + "/ood", num_classes=2, images_per_class=4, image_size=48)
+        tree_root = build_tree_from_config(phy, None)
+        mcfg = ModelConfig(backbone="convnext_tiny_26", image_size=48,
+                           num_protos_per_child=4,
+                           head=HeadConfig(softmax_tau=1.0, protopool=False))
+        cfg = RunConfig(
+            model=mcfg,
+            train=TrainConfig(
+                batch_size=6, batch_size_pretrain=6, epochs=2,
+                epochs_pretrain=0, epochs_finetune=0,
+                epochs_finetune_classifier=0, freeze_epochs=0, seed=1,
+                data_parallel=8,
+                optim=OptimConfig(),
+                loss=LossConfig(align=True, uni=False, tanh=True,
+                                ood_loss=True, weighted_ce=False)),
+            log_dir=root + "/run")
+        model, tree = build_pipnet(tree_root, mcfg)
+        kw = dict(device_photometric=True, device_geometric=True)
+        loaders = build_loaders(train_dir, test_dir, image_size=48,
+                                batch_size=6, batch_size_pretrain=6, seed=1, **kw)
+        ood_loaders = build_loaders(otrain, otest, image_size=48,
+                                    batch_size=6, batch_size_pretrain=6,
+                                    seed=2, **kw)
+        b = next(iter(loaders.train.epoch(0)))
+        assert b.xs1.dtype == np.uint8 and b.xs1.shape[1] == 56
+        trainer = Trainer(model, tree, cfg, loaders, ood_loaders=ood_loaders)
+        trainer.init_state(48)
+        info = trainer.run_epoch(1, pretrain=False, net_t0=0, net_T=16,
+                                 loader=loaders.train,
+                                 ood_loader=ood_loaders.train)
+        assert np.isfinite(info["loss"])
+        assert len(trainer._step_cache) == 1
+
 
 class TestWandbExport:
     def test_export_run(self, tmp_path):
