@@ -8,6 +8,7 @@ overspecificity verdict from the learned presence logits."""
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, List, Optional
 
@@ -20,11 +21,18 @@ from .pruning import presence_prune_mask
 from .topk import ProjectionResult, topk_per_prototype_per_leaf
 
 
-def _load(proj: ProjectionResult, idx: int) -> np.ndarray:
-    with Image.open(proj.paths[idx]) as im:
-        im = im.convert("RGB").resize((proj.image_size, proj.image_size),
-                                      Image.BILINEAR)
+@functools.lru_cache(maxsize=4096)
+def _load_cached(path: str, image_size: int) -> np.ndarray:
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize((image_size, image_size), Image.BILINEAR)
     return np.asarray(im, np.uint8)
+
+
+def _load(proj: ProjectionResult, idx: int) -> np.ndarray:
+    # the same top-activating images recur across prototypes/leaves/nodes —
+    # a gallery sweep re-decodes each popular image hundreds of times
+    # without this cache (~85 MB at 4096 224² entries)
+    return _load_cached(proj.paths[idx], proj.image_size)
 
 
 def nondescendant_topk(proj: ProjectionResult, tree: TreeArrays,
@@ -62,17 +70,17 @@ def make_heatmap_forward(model, tree: TreeArrays, params, batch_stats,
     whole viz forward per image, util/vis_hpipnet.py:62-127)."""
     import jax.numpy as jnp
 
-    from ..data.augment import EvalTransform
+    from ..data.augment import IMAGENET_MEAN, IMAGENET_STD
     from .topk import make_projection_step
 
     step = make_projection_step(model, tree)
-    tf = EvalTransform(proj.image_size)
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
 
     def forward(image_indices):
-        xs = []
-        for idx in image_indices:
-            with Image.open(proj.paths[idx]) as im:
-                xs.append(tf(im.convert("RGB")))
+        # decode via the shared u8 cache (EvalTransform == resize+normalize)
+        xs = [(_load(proj, idx).astype(np.float32) / 255.0 - mean) / std
+              for idx in image_indices]
         batch = np.stack(xs)
         # pad the leading dim to a power-of-two bucket: this function is
         # called once per prototype with a data-dependent image count, and
