@@ -77,7 +77,19 @@ def make_heatmap_forward(model, tree: TreeArrays, params, batch_stats,
     mean = np.asarray(IMAGENET_MEAN, np.float32)
     std = np.asarray(IMAGENET_STD, np.float32)
 
-    def forward(image_indices):
+    import jax
+
+    @jax.jit
+    def one_map(params, batch_stats, xs, p):
+        # fetch ONLY the requested prototype's map: the full (B, H, W, P)
+        # proto_features is ~177 MB at gallery shapes and the tunneled
+        # backend ships un-donated outputs to the host synchronously
+        # (~1.8 s/call measured; the slice is ~170 KB)
+        out = step(params, batch_stats, xs)
+        return jax.lax.dynamic_index_in_dim(out["proto_features"], p,
+                                            axis=3, keepdims=False)
+
+    def forward(image_indices, proto_idx):
         # decode via the shared u8 cache (EvalTransform == resize+normalize)
         xs = [(_load(proj, idx).astype(np.float32) / 255.0 - mean) / std
               for idx in image_indices]
@@ -93,8 +105,9 @@ def make_heatmap_forward(model, tree: TreeArrays, params, batch_stats,
         if bucket != n:
             batch = np.concatenate(
                 [batch, np.zeros((bucket - n, *batch.shape[1:]), batch.dtype)])
-        out = step(params, batch_stats, jnp.asarray(batch))
-        return np.asarray(out["proto_features"])[:n]
+        maps = one_map(params, batch_stats, jnp.asarray(batch),
+                       jnp.asarray(proto_idx, jnp.int32))
+        return np.asarray(maps)[:n]                       # (B, H, W)
 
     return forward
 
@@ -148,14 +161,14 @@ def save_hierarchy_galleries(proj: ProjectionResult, tree: TreeArrays,
                     all_entries = [(li, idx) for li, es in per_leaf[p].items()
                                    for idx, _ in es]
                     uniq = sorted({idx for _, idx in all_entries})
-                    maps = heatmap_forward(uniq)                  # (B,H,W,P)
+                    maps = heatmap_forward(uniq, p)               # (B, H, W)
                     pos = {idx: i for i, idx in enumerate(uniq)}
                     for li, entries in per_leaf[p].items():
                         overlays, labels = [], []
                         for img_idx, score in entries:
                             img = _load(proj, img_idx)
                             overlays.append(overlay_heatmap(
-                                img, maps[pos[img_idx], :, :, p]))
+                                img, maps[pos[img_idx]]))
                             labels.append(f"{score:.2f}")
                         if overlays:
                             written.append(save_image_grid(
