@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..tree.compile import TreeArrays
 
 
-def _plan_tiles(tree: TreeArrays, target: int = 512,
+def _plan_tiles(tree: TreeArrays, target: Optional[int] = None,
                 max_tile_w: int = 2048) -> Optional[list]:
     """Per-bucket tile plan with Mosaic-legal widths.
 
@@ -47,6 +47,11 @@ def _plan_tiles(tree: TreeArrays, target: int = 512,
     caller should use the XLA composition.
     """
     import math
+    import os
+    if target is None:
+        # tuning knob; 512 measured best at the flagship layout (sweep in
+        # BENCH_NOTES) but other trees may prefer other widths
+        target = int(os.environ.get("PIPNET_HEAD_TILE_TARGET", 512))
     plans = []
     for b in tree.buckets:
         base = math.lcm(b.width, 128)
