@@ -13,13 +13,41 @@ import sys
 from typing import Dict, Sequence
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except (ProcessLookupError, PermissionError):
+        return False
+    except OSError:
+        return False
+
+
 class RunLog:
-    def __init__(self, log_dir: str):
+    """``exclusive=True`` (default) takes a pid lock on the run dir: two
+    live trainers appending to the same CSVs interleave their rows unusably
+    (observed when a kill was delivered late and a relaunch shared the dir).
+    A lock whose owner is dead is reclaimed silently."""
+
+    def __init__(self, log_dir: str, exclusive: bool = True):
         self.log_dir = log_dir
         self.metadata_dir = os.path.join(log_dir, "metadata")
         self.checkpoint_dir = os.path.join(log_dir, "checkpoints")
         for d in (log_dir, self.metadata_dir, self.checkpoint_dir):
             os.makedirs(d, exist_ok=True)
+        if exclusive:
+            lock = os.path.join(log_dir, ".pipnet_lock")
+            try:
+                with open(lock) as f:
+                    owner = int(f.read().strip() or 0)
+            except (FileNotFoundError, ValueError):
+                owner = 0
+            if owner and owner != os.getpid() and _pid_alive(owner):
+                raise RuntimeError(
+                    f"run dir {log_dir!r} is in use by live process {owner} "
+                    f"(remove {lock} if this is stale)")
+            with open(lock, "w") as f:
+                f.write(str(os.getpid()))
         self._columns: Dict[str, Sequence[str]] = {}
 
     def save_config(self, cfg) -> None:

@@ -59,3 +59,28 @@ def test_add_on_variants():
     assert from_reference_flags({"l2conv2d": "y"}).model.head.add_on_type == "l2"
     assert from_reference_flags({"projectconv2d": "y"}).model.head.add_on_type == "project"
     assert from_reference_flags({}).model.head.add_on_type == "conv"
+
+
+class TestRunDirLock:
+    def test_live_owner_blocks_second_writer(self, tmp_path):
+        import os
+        import pytest as _pytest
+        from pipnet_tpu.runtime.log import RunLog
+        d = str(tmp_path / "run")
+        RunLog(d)                                   # locks with our pid
+        # same pid may re-open (resume in-process)
+        RunLog(d)
+        # a different LIVE pid blocks
+        with open(os.path.join(d, ".pipnet_lock"), "w") as f:
+            f.write("1")                            # pid 1 is always alive
+        with _pytest.raises(RuntimeError, match="in use"):
+            RunLog(d)
+
+    def test_stale_lock_reclaimed(self, tmp_path):
+        import os
+        from pipnet_tpu.runtime.log import RunLog
+        d = str(tmp_path / "run")
+        os.makedirs(d)
+        with open(os.path.join(d, ".pipnet_lock"), "w") as f:
+            f.write("999999999")                    # certainly dead
+        RunLog(d)                                   # reclaims silently
