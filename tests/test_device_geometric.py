@@ -143,3 +143,27 @@ class TestTransform1Batch:
         assert np.array_equal(out, np.round(out))   # on the u8 lattice
         # images differ across the batch (independent augmentations)
         assert len({out[i].tobytes() for i in range(8)}) == 8
+
+
+class TestRandomAffineParity:
+    def test_random_ta_draws_match_pil(self, rng):
+        """Property test over 24 random (op, magnitude) draws from the
+        actual TA tables.  The device computes sample positions in f32 while
+        PIL uses C doubles, so a position landing within ~2e-5 of an integer
+        can floor to the neighboring pixel — allow <=0.5% flipped pixels
+        (boundary picks between adjacent source pixels, not errors)."""
+        import numpy as _np
+        img = rand_img(rng, 56)
+        pil = Image.fromarray(img)
+        space = ha._space_no_color()
+        r = _np.random.default_rng(11)
+        for _ in range(24):
+            name = dg.GEO_NAMES[r.integers(len(dg.GEO_NAMES))]
+            fn, bins, signed = space[name]
+            mag = float(bins[r.integers(len(bins))]) if len(bins) > 1 else 0.0
+            if signed and r.integers(2):
+                mag = -mag
+            want = np.asarray(fn(pil, mag).convert("RGB"), np.uint8)
+            got = warp_device(img, dg.GEO_NAMES.index(name), mag)
+            frac = np.mean(np.any(got != want, axis=-1))
+            assert frac <= 0.005, (name, mag, frac)
