@@ -124,8 +124,19 @@ def nearest_affine_warp(x_u8: jnp.ndarray, m) -> jnp.ndarray:
     ys, xs = jnp.mgrid[0:H, 0:W].astype(jnp.float32)
     xin = m0 * (xs + 0.5) + m1 * (ys + 0.5) + m2
     yin = m3 * (xs + 0.5) + m4 * (ys + 0.5) + m5
-    ix = jnp.floor(xin).astype(jnp.int32)
-    iy = jnp.floor(yin).astype(jnp.int32)
+    # TA magnitudes are rationals (k/60 shears), so sample positions land
+    # EXACTLY on integer boundaries for whole columns/rows.  The +1e-4 bias
+    # (>> f32 rounding error at coordinates <= 256, << any non-boundary
+    # fraction in the tables) makes those boundary pixels floor to the
+    # boundary index deterministically instead of at the mercy of f32
+    # rounding.  NOTE: PIL's own NEAREST affine quantizes the COEFFICIENTS
+    # to 16.16 fixed point (Geometry.c affine_fixed), so on exact-boundary
+    # columns PIL may sample the adjacent source pixel — this warp uses true
+    # real-valued coordinates (boundary-free draws match PIL exactly; the
+    # per-op and random-draw bounds are asserted in
+    # tests/test_device_geometric.py).
+    ix = jnp.floor(xin + 1e-4).astype(jnp.int32)
+    iy = jnp.floor(yin + 1e-4).astype(jnp.int32)
     inside = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
     idx = (jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)).reshape(B, H * W)
     out = jnp.take_along_axis(x_u8.reshape(B, H * W, C), idx[..., None], axis=1)
