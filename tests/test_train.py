@@ -473,3 +473,18 @@ class TestFullDeviceAugmentStep:
             for a, b in zip(jax.tree_util.tree_leaves(state.params),
                             jax.tree_util.tree_leaves(new_state.params)))
         assert moved, "no parameter moved after a train step"
+
+
+class TestScalarsPacking:
+    def test_properties_roundtrip(self):
+        """The packed (5,) scalar buffer must read back field-for-field (a
+        swapped index here silently mis-schedules every step)."""
+        from pipnet_tpu.train.step import Scalars
+        sc = Scalars.make(net_t=3, net_T=540, epoch_frac=2.25,
+                          align_pf_weight=5.0, tanh_weight=2.0)
+        assert sc.vec.shape == (5,) and sc.vec.dtype == np.float32
+        assert float(sc.net_t) == 3.0
+        assert float(sc.net_T) == 540.0
+        assert float(sc.epoch_frac) == 2.25
+        assert float(sc.align_pf_weight) == 5.0
+        assert float(sc.tanh_weight) == 2.0
