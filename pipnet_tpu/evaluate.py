@@ -158,7 +158,14 @@ def run(argv=None) -> int:
         ood_scores, *_ = collect(ood_loaders.test)
         result["ood"] = eval_ood(scores, ys, ood_scores, tree.num_classes)
 
-    report_path = os.path.join(args.run_dir, "eval_report.json")
+    suffix = ""
+    if args.apply_overspecificity_mask:
+        suffix += "_masked"
+    if leave_out:
+        suffix += "_lou"
+    if args.path_prob_softmax_tau != 1.0:
+        suffix += f"_tau{args.path_prob_softmax_tau:g}"
+    report_path = os.path.join(args.run_dir, f"eval_report{suffix}.json")
     with open(report_path, "w") as f:
         json.dump(result, f, indent=2, default=float)
     print(json.dumps(result, indent=2, default=float))

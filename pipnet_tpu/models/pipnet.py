@@ -195,6 +195,24 @@ def leave_out_decode_tables(tree: TreeArrays, leave_out_idx) -> tuple:
     return use.astype(np.float32), extra
 
 
+def degenerate_nodes_traced(masked_w: jnp.ndarray, tree: TreeArrays) -> jnp.ndarray:
+    """(N,) bool from the Gumbel-masked effective classifier, traced.
+
+    A node is degenerate when ANY of its child classes keeps no weight
+    > 1e-3 after presence masking (ref util/node.py:342-347; the reference
+    reads the raw weight, but raw w <= 1e-3  <=>  relu(w) <= 1e-3, and the
+    off-block entries are -0.5 there / 0 here — degenerate under both).
+    ``masked_w`` is ``effective_cls_weight() * keep[None, :]`` with shape
+    (num_children_total, num_protos_padded); child rows are contiguous per
+    node (tree/compile.py), so the per-node ANY is one segment_max."""
+    import numpy as np
+    row_node = jnp.asarray(np.repeat(np.arange(tree.num_nodes),
+                                     np.asarray(tree.node_num_children)))
+    row_deg = (jnp.max(masked_w, axis=1) <= 1e-3).astype(jnp.int32)
+    return jax.ops.segment_max(row_deg, row_node,
+                               num_segments=tree.num_nodes) > 0
+
+
 def joint_leaf_log_distribution(logits: jnp.ndarray, tree: TreeArrays,
                                 softmax_tau: float = 1.0,
                                 degenerate_nodes=None,

@@ -311,7 +311,15 @@ def make_eval_step(model: PIPNet, tree: TreeArrays, *,
     thresholding on, joint-distribution decode.
 
     ``leave_out_idx``: left-out class indices — enables the reference LOU
-    decode short-circuit (ref util/node.py:319-326, pipnet/train.py:713)."""
+    decode short-circuit (ref util/node.py:319-326, pipnet/train.py:713).
+
+    With ``apply_overspecificity_mask`` the decode also applies the
+    reference's degenerate-node fallback (ref util/node.py:336-361): any node
+    where some child class's Gumbel-masked classifier row keeps no weight
+    > 1e-3 decodes its children by leaf-count priors instead of the softmax.
+    Deviation: the reference draws a SECOND independent Gumbel sample inside
+    the decode recursion; here the forward's mask sample (same ``mask_rng``)
+    is reused so the pooled masking and the degeneracy verdict agree."""
     tc = make_tree_consts(tree)
 
     @jax.jit
@@ -323,8 +331,19 @@ def make_eval_step(model: PIPNet, tree: TreeArrays, *,
                         mask_rng=mask_rng)
         B = xs.shape[0]
         logits = out["logits"][:B]
+        degenerate = None
+        if apply_overspecificity_mask:
+            from ..models.pipnet import degenerate_nodes_traced
+            from ..ops.segment import segment_hard_gumbel
+            # identical sample to the head's (same rng, same logits)
+            keep = segment_hard_gumbel(params["head"]["proto_presence"],
+                                       mask_rng, tau=0.5)[:, 1]
+            w_eff = model.apply({"params": params},
+                                method=lambda m: m.head.effective_cls_weight())
+            degenerate = degenerate_nodes_traced(w_eff * keep[None, :], tree)
         logp = joint_leaf_log_distribution(logits, tree,
                                            softmax_tau=path_prob_softmax_tau,
+                                           degenerate_nodes=degenerate,
                                            leave_out_idx=leave_out_idx)
         return {"logits": logits, "pooled": out["pooled"][:B],
                 "log_joint": logp, "pred": jnp.argmax(logp, axis=-1)}

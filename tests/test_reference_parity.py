@@ -264,6 +264,65 @@ class TestJointDistributionParity:
             jnp.asarray(logits), tree, softmax_tau=tau, leave_out_idx=lo_idx)))
         np.testing.assert_allclose(ours, ref_dist, atol=1e-5)
 
+    @pytest.mark.parametrize("tau", [1.0, 0.5])
+    def test_masked_decode_degenerate_fallback(self, ref, setup, tau):
+        """apply_overspecificity_mask decode == the REAL recursion's
+        degenerate-node fallback (util/node.py:336-361): mask away EVERY
+        prototype of one child and the node must decode by leaf-count priors.
+
+        The reference samples a hard Gumbel (tau=0.5) per node inside the
+        decode; +-20 presence logits pin both samplers to the same
+        deterministic mask (logistic tail < e^-80)."""
+        from pipnet_tpu.models.pipnet import (degenerate_nodes_traced,
+                                              joint_leaf_log_distribution)
+        from pipnet_tpu.ops.segment import segment_hard_gumbel
+
+        tree = setup.tree
+        rng = np.random.default_rng(11)
+        B = 4
+        logits = rng.uniform(0.0, 3.0, (B, tree.num_children_total)).astype(np.float32)
+
+        # keep everything except every prototype of the FIRST child of one
+        # mid-tree node (a 2-child node so the sibling survives)
+        victim_ni = 1
+        vic_ps = tree.node_proto_slice(victim_ni)
+        vic_cs = tree.node_child_slice(victim_ni)
+        presence = np.tile(np.asarray([[-20.0, 20.0]], np.float32),
+                           (tree.num_protos_padded, 1))           # keep all
+        first_child_row = vic_cs.start
+        drop_cols = np.where(np.asarray(tree.child_block_mask)[first_child_row] > 0)[0]
+        assert len(drop_cols) > 0
+        presence[drop_cols] = [20.0, -20.0]                       # drop these
+
+        # reference: net stub exposing per-node classification + presence
+        net = types.SimpleNamespace()
+        out = {}
+        for ni, name in enumerate(tree.node_names):
+            ps, cs = tree.node_proto_slice(ni), tree.node_child_slice(ni)
+            setattr(net, "_" + name + "_classification",
+                    types.SimpleNamespace(weight=torch.tensor(setup.w_cls[cs, ps])))
+            setattr(net, "_" + name + "_proto_presence",
+                    torch.tensor(presence[ps]))
+            out[name] = torch.tensor(logits[:, cs])
+        bottom = setup.ref_root.distribution_over_furthest_descendents(
+            net=net, batch_size=B, out=out, leave_out_classes=None,
+            apply_overspecificity_mask=True, device="cpu", softmax_tau=tau)
+        names = setup.ref_root.unwrap_names_of_joint(
+            setup.ref_root.names_of_joint_distribution())
+        ref_dist = bottom.detach().numpy()[:, np.argsort(names)]
+
+        # ours: exactly the make_eval_step wiring (train/step.py)
+        keep = segment_hard_gumbel(jnp.asarray(presence),
+                                   jax.random.PRNGKey(3), tau=0.5)[:, 1]
+        w_eff = (jax.nn.relu(jnp.asarray(setup.w_cls))
+                 * jnp.asarray(tree.child_block_mask))
+        deg = degenerate_nodes_traced(w_eff * keep[None, :], tree)
+        assert bool(np.asarray(deg)[victim_ni])
+        assert int(np.asarray(deg).sum()) == 1
+        ours = np.exp(np.asarray(joint_leaf_log_distribution(
+            jnp.asarray(logits), tree, softmax_tau=tau, degenerate_nodes=deg)))
+        np.testing.assert_allclose(ours, ref_dist, atol=1e-5)
+
 
 def _ref_args():
     import argparse
