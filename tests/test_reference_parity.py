@@ -549,3 +549,197 @@ class TestCalculateLossParity:
                    + ref.train.regression_loss(torch.tensor(o2), torch.tensor(t1))) / 2.0
         ours = byol_regression_loss(jnp.asarray(online), jnp.asarray(target))
         assert float(ours) == pytest.approx(float(ref_val), abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Gradient-level parity (round-2 judge next #1): torch.autograd of the REAL
+# calculate_loss + per-node head modules vs jax.grad of the stacked pipeline
+# on the same weights/batch.  Training dynamics ARE the gradients; this
+# falsifies the grad-flow subtleties value checks cannot: the .data
+# kernel-grad blocks (UnitConv2D), sg_before_protos, sg_before_masking, the
+# static-block-mask-vs-(-0.5-init) equivalence, and the fused Pallas head's
+# hand-written VJP (checked here against torch, not just the XLA composition).
+# ---------------------------------------------------------------------------
+
+GRAD_WEIGHTS = dict(align_weight=0.5, align_pf_weight=5.0, t_weight=2.0,
+                    mm_weight=0.0, unif_weight=3.0, cl_weight=2.0,
+                    OOD_loss_weight=0.2, orth_weight=0.5,
+                    cluster_desc_weight=0.0, sep_desc_weight=0.0,
+                    subspace_sep_weight=0.0, byol_weight=0.0)
+
+
+def _torch_loss_graph(ref, setup, tree, *, sg_protos=False, sg_masking=False,
+                      unit=False, monkeypatch=None):
+    """Build the full differentiable torch graph: per-node reference modules
+    -> reference forward ops (pipnet/pipnet.py:111-171) -> the REAL
+    calculate_loss; returns (loss, leaves dict for .grad collection)."""
+    feats_t = torch.tensor(np.moveaxis(setup.feats, -1, 1), requires_grad=True)
+    module = types.SimpleNamespace()
+    convs, lins, press = {}, {}, {}
+    for ni, name in enumerate(tree.node_names):
+        ps, cs = tree.node_proto_slice(ni), tree.node_child_slice(ni)
+        kw = torch.tensor(setup.kernel[:, ps].T[:, :, None, None])
+        conv = (ref.pipnet.UnitConv2D if unit else torch.nn.Conv2d)(
+            setup.D, kw.shape[0], 1, bias=False)
+        with torch.no_grad():
+            conv.weight.copy_(kw)
+        lin = ref.pipnet.NonNegLinear(kw.shape[0], cs.stop - cs.start, bias=False)
+        with torch.no_grad():
+            lin.weight.copy_(torch.tensor(setup.w_cls[cs, ps]))
+        pres = torch.nn.Parameter(torch.tensor(setup.presence[ps]))
+        setattr(module, f"_{name}_add_on", conv)
+        setattr(module, f"_{name}_classification", lin)
+        setattr(module, f"_{name}_proto_presence", pres)
+        convs[name], lins[name], press[name] = conv, lin, pres
+    net = types.SimpleNamespace(module=module)
+
+    # reference forward (pipnet/pipnet.py:119-170)
+    inp = feats_t.clone().detach() if sg_protos else feats_t
+    pool = torch.nn.AdaptiveMaxPool2d((1, 1))
+    sm = torch.nn.Softmax(dim=1)
+    pf, pooled, out = {}, {}, {}
+    for name in tree.node_names:
+        z = convs[name](inp)
+        if unit:
+            z = torch.abs(z)                       # pipnet.py:127-128
+        z = sm(z / TAU)
+        pf[name] = z
+        p = pool(z).flatten(start_dim=1)
+        pooled[name] = p
+        out[name] = lins[name](p)
+
+    args = _ref_args()
+    args.sg_before_masking = "y" if sg_masking else "n"
+    label2name = {i: c for i, c in enumerate(tree.class_names)}
+    label2name[-1] = "OOD"
+    ys2 = np.concatenate([setup.ys1, setup.ys1])
+    ret = ref.train.calculate_loss(
+        epoch=5, net=net, additional_network_outputs={},
+        features=feats_t, proto_features=pf, pooled=pooled, out=out,
+        ys=torch.tensor(ys2), **GRAD_WEIGHTS,
+        net_normalization_multiplier=torch.tensor(2.0),
+        pretrain=False, finetune=False,
+        criterion=ref.WeightedNLLLoss(device="cpu"),
+        train_iter=types.SimpleNamespace(set_postfix_str=lambda *a, **k: None),
+        print=True, EPS=1e-8, root=setup.ref_root,
+        label2name=label2name, node_accuracy=_node_accuracy(setup.ref_root),
+        OOD_loss_required=True, kernel_orth=True, tanh_desc=True,
+        align=True, uni=True, align_pf=True, tanh=True, minmaximize=False,
+        byol=False, train=False, args=args, device="cpu")
+    return ret[0], dict(feats=feats_t, convs=convs, lins=lins, press=press)
+
+
+def _collect_torch_grads(setup, tree, leaves):
+    """Assemble per-node torch grads into the stacked (D,P)/(C,P)/(P,2)/
+    (2B,H,W,D) layout (missing grads = exact zeros, e.g. UnitConv2D's
+    .data-blocked kernels when kernel_orth is the only remaining path)."""
+    P, C = tree.num_protos_padded, tree.num_children_total
+    gk = np.zeros((setup.D, P), np.float32)
+    gw = np.zeros((C, P), np.float32)
+    gp = np.zeros((P, 2), np.float32)
+    for ni, name in enumerate(tree.node_names):
+        ps, cs = tree.node_proto_slice(ni), tree.node_child_slice(ni)
+        cg = leaves["convs"][name].weight.grad
+        if cg is not None:
+            gk[:, ps] = cg.detach().numpy()[:, :, 0, 0].T
+        lg = leaves["lins"][name].weight.grad
+        if lg is not None:
+            gw[cs, ps] = lg.detach().numpy()
+        pg = leaves["press"][name].grad
+        if pg is not None:
+            gp[ps] = pg.detach().numpy()
+    gf = np.moveaxis(leaves["feats"].grad.detach().numpy(), 1, -1)
+    return gk, gw, gp, gf
+
+
+def _jax_total_fn(setup, tree, *, sg_protos=False, sg_masking=False,
+                  unit=False, pallas=False):
+    """The production-faithful jax loss as a pure fn of the four leaves."""
+    from pipnet_tpu.config import HeadConfig
+    from pipnet_tpu.losses import catalog as C
+    from pipnet_tpu.losses import make_tree_consts
+    from pipnet_tpu.models.heads import PrototypeHead
+
+    tc = make_tree_consts(tree)
+    jys = jnp.asarray(np.concatenate([setup.ys1, setup.ys1]))
+    cfg = HeadConfig(softmax_tau=TAU, protopool=False,
+                     sg_before_protos=sg_protos,
+                     add_on_type="unit" if unit else "conv")
+    head = PrototypeHead(tree=tree, cfg=cfg, in_channels=setup.D)
+    if pallas:
+        from pipnet_tpu.ops.pallas_head import make_fused_head
+        fused = make_fused_head(tree, tau=TAU, interpret=True)
+
+    def total(kernel, w_cls, presence, feats):
+        if pallas:
+            pf, pooled = fused(feats, kernel)      # the heads.py pallas path
+            w_eff = jax.nn.relu(w_cls) * jnp.asarray(tree.child_block_mask)
+            logits = pooled @ w_eff.T
+        else:
+            params = {"add_on_kernel": kernel, "cls_weight": w_cls,
+                      "proto_presence": presence,
+                      "multiplier": jnp.asarray([2.0])}
+            out = head.apply({"params": params}, jnp.asarray(feats))
+            pf, pooled, logits = (out["proto_features"], out["pooled"],
+                                  out["logits"])
+            w_eff = jax.nn.relu(w_cls) * jnp.asarray(tree.child_block_mask)
+        presence_col = jnp.clip(presence[:, 1], 0.05, 0.95)
+        a, u = C.align_and_uniform(feats, align=True, uni=True)
+        apf, _ = C.align_pf_loss(tc, pf, jys)
+        th, _ = C.tanh_loss(tc, pooled, jys, eps=1e-12)
+        td, _ = C.tanh_desc_loss(tc, pooled, jys, w_eff, eps=1e-12)
+        ko, _ = C.kernel_orth_loss(tree, tc, kernel, w_eff)
+        cl, _ = C.classification_loss(tc, logits, jys, jnp.asarray(2.0),
+                                      pipnet_sparsity=True, weighted=True)
+        ob, _ = C.ood_bce_loss(tc, logits, jys, jnp.asarray(2.0))
+        mc, _ = C.min_contrast_loss(tc, pooled, jys, w_eff, topk=2)
+        os_l = C.overspecificity_losses(tc, pooled, jys, w_eff, presence_col,
+                                        boost=None, geometric_mean=False,
+                                        sg_score=sg_masking)
+        return (0.5 * a + 3.0 * u + 5.0 * apf + 2.0 * th + 0.05 * td
+                + 0.5 * ko + 2.0 * cl + 0.2 * ob + 0.1 * mc
+                + os_l["overspecificity"] + os_l["mask_l1"])
+
+    return total
+
+
+class TestGradientParity:
+    @pytest.mark.parametrize("case", ["flagship", "sg_masking", "sg_protos",
+                                      "unit", "pallas"])
+    def test_grads_match_reference_autograd(self, ref, setup, monkeypatch, case):
+        kw = dict(sg_protos=case == "sg_protos",
+                  sg_masking=case == "sg_masking",
+                  unit=case == "unit")
+
+        def fake_gumbel(logits, tau=1.0, hard=False, dim=-1):
+            assert not hard
+            return logits.clamp(0.05, 0.95)
+
+        monkeypatch.setattr(torch.nn.functional, "gumbel_softmax", fake_gumbel)
+
+        ref_loss, leaves = _torch_loss_graph(ref, setup, setup.tree, **kw)
+        ref_loss.backward()
+        gk_t, gw_t, gp_t, gf_t = _collect_torch_grads(setup, setup.tree, leaves)
+
+        total = _jax_total_fn(setup, setup.tree, pallas=case == "pallas", **kw)
+        val, grads = jax.value_and_grad(total, argnums=(0, 1, 2, 3))(
+            jnp.asarray(setup.kernel), jnp.asarray(setup.w_cls),
+            jnp.asarray(setup.presence), jnp.asarray(setup.feats))
+        gk_j, gw_j, gp_j, gf_j = (np.asarray(g) for g in grads)
+
+        assert float(val) == pytest.approx(float(ref_loss.detach()), abs=2e-4)
+        np.testing.assert_allclose(gk_j, gk_t, atol=1e-4,
+                                   err_msg=f"{case}: add-on kernel grads")
+        np.testing.assert_allclose(gw_j, gw_t, atol=1e-4,
+                                   err_msg=f"{case}: classifier grads")
+        np.testing.assert_allclose(gp_j, gp_t, atol=1e-4,
+                                   err_msg=f"{case}: presence grads")
+        np.testing.assert_allclose(gf_j, gf_t, atol=1e-4,
+                                   err_msg=f"{case}: feature grads")
+        if case == "unit":
+            # .data blocks every head-path kernel grad; kernel_orth (raw
+            # weight read, pipnet/train.py:1140) must remain the ONLY path
+            assert np.abs(gk_t).max() > 0, "kernel_orth grad path vanished"
+        if case == "sg_protos":
+            # feature grads must come from align/uni alone (head is cut)
+            assert np.abs(gf_t).max() > 0
