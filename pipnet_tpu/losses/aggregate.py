@@ -114,7 +114,14 @@ def compute_total_loss(tc: TreeConsts,
     tanh_eps = 1e-12 if min_contrast_ran else C.EPS
 
     if not finetune and cfg.align_pf:
-        apf, apf_pn = C.align_pf_loss(tc, outputs["proto_features"], ys)
+        if "align_pf_logsum" in outputs:
+            # fused no-pf head: the per-patch log-reduction already happened
+            # in-kernel (ops/pallas_head.make_fused_head_nopf)
+            hw = outputs["features"].shape[1] * outputs["features"].shape[2]
+            apf, apf_pn = C.align_pf_from_logsum(
+                tc, outputs["align_pf_logsum"], ys, hw)
+        else:
+            apf, apf_pn = C.align_pf_loss(tc, outputs["proto_features"], ys)
         total = total + weights.align_pf * apf
         aux["align_pf"] = apf
         aux["align_pf_per_node"] = apf_pn

@@ -231,6 +231,19 @@ def align_pf_loss(tc: TreeConsts, proto_features: jnp.ndarray, ys: jnp.ndarray) 
     return per_node.sum() / tc.num_nodes, per_node
 
 
+def align_pf_from_logsum(tc: TreeConsts, logsum: jnp.ndarray, ys: jnp.ndarray,
+                         hw: int):
+    """align_pf from the fused head's in-kernel reduction
+    logsum[b, n] = sum_hw log(ip + ALIGN_EPS)  (ops/pallas_head.py,
+    make_fused_head_nopf) — algebraically identical to ``align_pf_loss``;
+    only the (B, H, W, P) intermediates are gone."""
+    B = logsum.shape[0]
+    under, counts = node_batch_masks(tc, ys[:B])        # (B, N), (N,)
+    per_node = -(logsum * under).sum(axis=0) / jnp.maximum(counts * hw, 1.0)
+    per_node = jnp.where(counts > 0, per_node, 0.0)
+    return per_node.sum() / tc.num_nodes, per_node
+
+
 def tanh_loss(tc: TreeConsts, pooled: jnp.ndarray, ys: jnp.ndarray,
               eps: float = EPS) -> jnp.ndarray:
     """-log(tanh(sum over in-node batch of pooled))

@@ -103,15 +103,19 @@ class PIPNet(nn.Module):
                  apply_overspecificity_mask: bool = False,
                  gumbel_rng: Optional[jax.Array] = None,
                  mask_rng: Optional[jax.Array] = None,
-                 with_byol: bool = False) -> Dict[str, jnp.ndarray]:
+                 with_byol: bool = False,
+                 fuse_align_pf: bool = False) -> Dict[str, jnp.ndarray]:
         """Returns {'features', 'proto_features', 'pooled', 'logits'} with the
         stacked layouts (B,H,W,D), (B,H,W,P), (B,P), (B,C); with
         ``with_byol`` also 'byol_online' = predictor(projector(features))
-        (ref pipnet_byol/pipnet_byol.py:105-110)."""
+        (ref pipnet_byol/pipnet_byol.py:105-110).  ``fuse_align_pf`` (pallas
+        head only): replace 'proto_features' with 'align_pf_logsum' (B, N) —
+        the maps stay in VMEM (see ops/pallas_head.make_fused_head_nopf)."""
         f = self.features(xs, train=train)
         out = self.head(f, inference=inference,
                         apply_overspecificity_mask=apply_overspecificity_mask,
-                        gumbel_rng=gumbel_rng, mask_rng=mask_rng)
+                        gumbel_rng=gumbel_rng, mask_rng=mask_rng,
+                        fuse_align_pf=fuse_align_pf)
         out["features"] = f
         if with_byol:
             if not self.cfg.use_byol:

@@ -181,6 +181,193 @@ def fused_head_forward(features: jnp.ndarray, kernel: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# no-pf variant: pooled + align_pf's per-node cross-view log-reductions
+# in-kernel, never writing the (B, H, W, P) softmaxed maps to HBM
+# ---------------------------------------------------------------------------
+
+
+def _head_nopf_kernel(f1_ref, f2_ref, k_ref, oh_ref, valid_ref,
+                      pooled1_ref, pooled2_ref, logsum_ref,
+                      *, tau: float, eps: float):
+    """One (image-pair, tile) cell: both views' softmaxed maps stay in VMEM;
+    outputs are the two pooled vectors plus align_pf's per-node patch
+    reduction  logsum[n] = sum_hw log(sum_{p in n} pf1*pf2 + eps)
+    (the CARL inner product of ref pipnet/train.py:1063-1074, log applied
+    per patch).  The (HW, TW) maps are never written out."""
+    k = k_ref[:]
+    oh = oh_ref[:]
+    valid = valid_ref[0, :]
+
+    def softmaxed(f):
+        z = jnp.dot(f, k, preferred_element_type=jnp.float32) * (1.0 / tau)
+        z = jnp.where(valid > 0, z, -1e30)
+        c = jnp.max(z, axis=1, keepdims=True)
+        e = jnp.exp(z - c)
+        e = jnp.where(valid > 0, e, 0.0)
+        seg = jnp.dot(e, oh, preferred_element_type=jnp.float32)
+        denom = jnp.dot(seg, oh.T, preferred_element_type=jnp.float32)
+        return e / jnp.maximum(denom, 1e-18)
+
+    p1 = softmaxed(f1_ref[0])
+    p2 = softmaxed(f2_ref[0])
+    pooled1_ref[0, 0, :] = jnp.max(p1, axis=0).astype(pooled1_ref.dtype)
+    pooled2_ref[0, 0, :] = jnp.max(p2, axis=0).astype(pooled2_ref.dtype)
+    ip = jnp.dot(p1 * p2, oh, preferred_element_type=jnp.float32)   # (HW, NS)
+    logsum_ref[0, 0, :] = jnp.sum(jnp.log(ip + eps), axis=0)
+
+
+def _run_bucket_nopf(f1: jnp.ndarray, f2: jnp.ndarray, kernel: jnp.ndarray,
+                     tree: TreeArrays, plan: dict, tau: float, eps: float,
+                     interpret: bool):
+    B, HW, D = f1.shape
+    tw, npt, ntiles = plan["tile_w"], plan["nodes_per_tile"], plan["n_tiles"]
+    span = tw * ntiles
+    off = plan["offset"]
+    k = jax.lax.dynamic_slice_in_dim(kernel, off,
+                                     min(span, kernel.shape[1] - off), axis=1)
+    if k.shape[1] < span:
+        k = jnp.pad(k, ((0, 0), (0, span - k.shape[1])))
+    valid = np.zeros((1, span), np.float32)
+    real = tree.proto_valid[off: off + min(span, tree.num_protos_padded - off)]
+    valid[0, : len(real)] = real
+    ns = max(128, -(-npt // 128) * 128)
+    oh = np.zeros((tw, ns), np.float32)
+    for s in range(npt):
+        oh[s * plan["width"]:(s + 1) * plan["width"], s] = 1.0
+
+    out_shape = (jax.ShapeDtypeStruct((B, 1, span), jnp.float32),
+                 jax.ShapeDtypeStruct((B, 1, span), jnp.float32),
+                 jax.ShapeDtypeStruct((B, ntiles, ns), jnp.float32))
+    pooled1, pooled2, logsum = pl.pallas_call(
+        functools.partial(_head_nopf_kernel, tau=tau, eps=eps),
+        grid=(B, ntiles),
+        in_specs=[
+            pl.BlockSpec((1, HW, D), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, HW, D), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((D, tw), lambda b, j: (0, j)),
+            pl.BlockSpec((tw, ns), lambda b, j: (0, 0)),
+            pl.BlockSpec((1, tw), lambda b, j: (0, j)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, tw), lambda b, j: (b, 0, j)),
+            pl.BlockSpec((1, 1, tw), lambda b, j: (b, 0, j)),
+            pl.BlockSpec((1, 1, ns), lambda b, j: (b, j, 0)),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(f1, f2, k, jnp.asarray(oh), jnp.asarray(valid))
+    # tile-local segments -> bucket node order
+    logsum = logsum[:, :, :npt].reshape(B, ntiles * npt)[:, :plan["num_nodes"]]
+    return pooled1[:, 0, :], pooled2[:, 0, :], logsum
+
+
+def fused_head_nopf_forward(features: jnp.ndarray, kernel: jnp.ndarray,
+                            tree: TreeArrays, *, tau: float = 1.0,
+                            eps: float = 1e-12, interpret: bool = False
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """features (2B, H, W, D) — two stacked views — and kernel (D, P) ->
+    (pooled (2B, P) f32, logsum (B, N) f32) without materializing pf.
+
+    logsum[b, n] = sum_hw log(sum_{p in n} pf[b]*pf[b+B] + eps): exactly the
+    per-patch CARL term of align_pf (losses/catalog.py:align_pf_loss) before
+    the in-batch masking/normalization, which stays in the loss fn."""
+    B2, H, W, D = features.shape
+    B = B2 // 2
+    P = tree.num_protos_padded
+    f1 = features[:B].reshape(B, H * W, D)
+    f2 = features[B2 - B:].reshape(B, H * W, D)
+    plans = _plan_tiles(tree)
+    if plans is None:
+        raise ValueError("tree layout not tileable for the fused head")
+    p1_parts, p2_parts, ls_parts, node_ids = [], [], [], []
+    covered = 0
+    for plan in plans:
+        p1b, p2b, lsb = _run_bucket_nopf(f1, f2, kernel, tree, plan, tau, eps,
+                                         interpret)
+        span_real = plan["num_nodes"] * plan["width"]
+        p1_parts.append(p1b[:, :span_real])
+        p2_parts.append(p2b[:, :span_real])
+        ls_parts.append(lsb)
+        node_ids.extend(int(tree.proto_node[plan["offset"] + i * plan["width"]])
+                        for i in range(plan["num_nodes"]))
+        covered = plan["offset"] + span_real
+    pooled1 = jnp.concatenate(p1_parts, axis=-1)
+    pooled2 = jnp.concatenate(p2_parts, axis=-1)
+    if covered < P:
+        pooled1 = jnp.pad(pooled1, ((0, 0), (0, P - covered)))
+        pooled2 = jnp.pad(pooled2, ((0, 0), (0, P - covered)))
+    pooled = jnp.concatenate([pooled1, pooled2], axis=0)
+    ls = jnp.concatenate(ls_parts, axis=-1)
+    logsum = jnp.zeros((B, tree.num_nodes), jnp.float32)
+    logsum = logsum.at[:, jnp.asarray(np.asarray(node_ids))].set(ls)
+    return pooled, logsum
+
+
+def make_fused_head_nopf(tree: TreeArrays, tau: float = 1.0,
+                         eps: float = 1e-12, interpret: bool = False):
+    """(features (2B,H,W,D), kernel) -> (pooled, logsum) with a custom VJP.
+
+    Forward: the no-pf Mosaic kernel above — saves the pf HBM write (~0.7 GB
+    at flagship shape) AND the loss-side pf1*pf2 elementwise + einsum over
+    (B,H,W,P).  Backward recomputes pf once in XLA (flash-attention style:
+    recompute beats storing) and applies the analytic adjoints.  The align_pf
+    stop-grad symmetrization 0.5*(pf1*sg(pf2)) + 0.5*(sg(pf1)*pf2) (ref
+    pipnet/train.py:1063-1074) is baked into d logsum/d pf: each view gets
+    half the inner-product cotangent."""
+    from .segment import _node_onehot, segment_softmax
+
+    onehot = _node_onehot(tree)
+
+    @jax.custom_vjp
+    def fused(features, kernel):
+        return fused_head_nopf_forward(features, kernel, tree, tau=tau,
+                                       eps=eps, interpret=interpret)
+
+    def fwd(features, kernel):
+        out = fused_head_nopf_forward(features, kernel, tree, tau=tau,
+                                      eps=eps, interpret=interpret)
+        return out, (features, kernel)
+
+    def bwd(res, cts):
+        features, kernel = res
+        g_pooled, g_logsum = cts
+        B = features.shape[0] // 2
+        ct = features.dtype
+        # recompute the softmaxed maps ONCE (the forward stored nothing)
+        z = features @ kernel.astype(features.dtype)
+        pf = segment_softmax(z, tree, tau=tau,
+                             precise=features.dtype == jnp.float32)
+        oh = jnp.asarray(onehot, ct)
+        pf1, pf2 = pf[:B], pf[B:]
+        ip = jnp.matmul(pf1 * pf2, oh,
+                        preferred_element_type=jnp.float32)     # (B,H,W,N)
+        gip = (g_logsum[:, None, None, :] / (ip + eps))
+        gseg = jnp.matmul(gip.astype(ct), oh.T,
+                          preferred_element_type=jnp.float32).astype(ct)
+        g_pf = jnp.concatenate([0.5 * gseg * pf2, 0.5 * gseg * pf1], axis=0)
+        # pooled cotangent routed to the spatial argmax (ties split evenly);
+        # recompute max from pf itself for dtype-safety (see make_fused_head)
+        is_max = (pf == jnp.max(pf, axis=(1, 2), keepdims=True)).astype(ct)
+        counts = jnp.maximum(is_max.sum(axis=(1, 2), keepdims=True)
+                             .astype(jnp.float32), 1.0)
+        g_tot = g_pf + is_max / counts.astype(ct) * g_pooled[:, None, None, :].astype(ct)
+        inner = jnp.matmul(g_tot * pf, oh,
+                           preferred_element_type=jnp.float32)
+        dz = pf * (g_tot - jnp.matmul(inner.astype(ct), oh.T,
+                                      preferred_element_type=jnp.float32
+                                      ).astype(ct)) * jnp.asarray(1.0 / tau, ct)
+        dz = dz.astype(features.dtype)
+        f2d = features.reshape(-1, features.shape[-1])
+        dz2 = dz.reshape(-1, dz.shape[-1])
+        dF = (dz2 @ kernel.T.astype(dz2.dtype)).reshape(features.shape)
+        dK = jnp.matmul(f2d.T, dz2, preferred_element_type=jnp.float32)
+        return dF, dK.astype(kernel.dtype)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+# ---------------------------------------------------------------------------
 # training-ready wrapper: fused Pallas forward + analytic XLA backward
 # ---------------------------------------------------------------------------
 

@@ -206,10 +206,18 @@ def make_train_step(model: PIPNet, tree: TreeArrays, cfg: RunConfig,
                 else jax.lax.stop_gradient(p),
                 params, _labels)
 
+        # pf is consumed ONLY by align_pf in the supported loss sets; when the
+        # pallas head runs, reduce align_pf in-kernel and never write the
+        # (B, H, W, P) maps to HBM (heads.py fuse_align_pf path).  Harmless
+        # no-op when head_supports_fusion rejects the config.
+        fuse_align_pf = (model.cfg.use_pallas_head and lcfg.align_pf
+                         and not ph.finetune)
+
         def loss_fn(params):
             params = _prune(params)
             out, new_bs = _apply(model, params, state.batch_stats, xs,
-                                 train=True, rng=drop_rng, with_byol=byol_active)
+                                 train=True, rng=drop_rng, with_byol=byol_active,
+                                 fuse_align_pf=fuse_align_pf)
             w_eff = effective_w(params)
             weights = LossWeights(
                 align_pf=scalars.align_pf_weight,
