@@ -142,15 +142,7 @@ def run_device_only(args):
         state, metrics = step(state, xs1, xs2, ys, scalars)
     float(np.asarray(metrics["loss"]))
     dt = time.perf_counter() - t0
-    img_per_sec = iters * batch / dt
-
-    print(json.dumps({
-        "metric": "train_images_per_sec_per_chip_cub190_hcompnet",
-        "value": round(img_per_sec, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(img_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
-    }))
-    return 0
+    return round(iters * batch / dt, 2)
 
 
 def run_e2e(args):
@@ -207,13 +199,13 @@ def run_e2e(args):
     info = trainer.run_epoch(21, pretrain=False, net_t0=0, net_T=1000,
                              loader=loaders.train)
     mode = "host_augment" if args.host_augment else "device_augment"
-    print(json.dumps({
+    return {
         "metric": f"e2e_train_images_per_sec_per_chip_{mode}",
         "value": round(info["images_per_sec"], 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(info["images_per_sec"] / A100_BASELINE_IMG_PER_SEC, 3),
-    }))
-    return 0
+        "vs_baseline": round(info["images_per_sec"] / A100_ROOFLINE_IMG_PER_SEC, 3),
+        "baseline_basis": BASELINE_BASIS,
+    }
 
 
 if __name__ == "__main__":

@@ -235,9 +235,13 @@ def _run_bucket_nopf(f1: jnp.ndarray, f2: jnp.ndarray, kernel: jnp.ndarray,
     for s in range(npt):
         oh[s * plan["width"]:(s + 1) * plan["width"], s] = 1.0
 
+    # logsum rows are laid out (B*ntiles, 1, ns): a (1, 1, ns) block over a
+    # (B, ntiles, ns) array is ILLEGAL Mosaic when ntiles > 1 (the
+    # second-to-last BLOCK dim must divide 8 or equal the array dim), so the
+    # (b, j) grid cell instead owns whole row b*ntiles+j of the flat layout
     out_shape = (jax.ShapeDtypeStruct((B, 1, span), jnp.float32),
                  jax.ShapeDtypeStruct((B, 1, span), jnp.float32),
-                 jax.ShapeDtypeStruct((B, ntiles, ns), jnp.float32))
+                 jax.ShapeDtypeStruct((B * ntiles, 1, ns), jnp.float32))
     pooled1, pooled2, logsum = pl.pallas_call(
         functools.partial(_head_nopf_kernel, tau=tau, eps=eps),
         grid=(B, ntiles),
@@ -251,13 +255,14 @@ def _run_bucket_nopf(f1: jnp.ndarray, f2: jnp.ndarray, kernel: jnp.ndarray,
         out_specs=(
             pl.BlockSpec((1, 1, tw), lambda b, j: (b, 0, j)),
             pl.BlockSpec((1, 1, tw), lambda b, j: (b, 0, j)),
-            pl.BlockSpec((1, 1, ns), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, ns), lambda b, j: (b * ntiles + j, 0, 0)),
         ),
         out_shape=out_shape,
         interpret=interpret,
     )(f1, f2, k, jnp.asarray(oh), jnp.asarray(valid))
     # tile-local segments -> bucket node order
-    logsum = logsum[:, :, :npt].reshape(B, ntiles * npt)[:, :plan["num_nodes"]]
+    logsum = logsum.reshape(B, ntiles, ns)[:, :, :npt]
+    logsum = logsum.reshape(B, ntiles * npt)[:, :plan["num_nodes"]]
     return pooled1[:, 0, :], pooled2[:, 0, :], logsum
 
 

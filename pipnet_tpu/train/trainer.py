@@ -28,6 +28,56 @@ from .step import (Scalars, StepStatics, TrainState, init_train_state,
                    make_eval_step, make_train_step, reinit_optimizer)
 
 
+def _put_prefetch(gen, depth: int = 2):
+    """Issue the H2D ``device_put`` of upcoming batches from a background
+    thread so the transfer overlaps the current step's device compute.
+
+    ``gen`` yields ``(put, puttables, aux)``; each puttable is transferred
+    with ``put`` (None passes through) and the results are re-yielded in
+    order on the calling thread.  Depth 2 keeps at most two
+    extra uint8 batches resident (~20 MB at 224², negligible vs HBM).
+
+    Round-2 measurement: the serialized put cost ~43 ms/batch on the
+    tunneled backend, capping end-to-end at ~88% of device-only throughput
+    (BENCH_NOTES).  Kill-switch: ``PIPNET_NO_PUT_PREFETCH=1`` restores the
+    serial path.  (The reference overlaps H2D via torch DataLoader
+    ``pin_memory`` + CUDA's copy engine, util/data.py:211-214; a TPU-tunnel
+    backend has no exposed copy stream, so overlap must come from the host
+    side.)"""
+    import os
+    import queue
+    import threading
+
+    if os.environ.get("PIPNET_NO_PUT_PREFETCH") == "1":
+        for put, puttables, aux in gen:
+            yield tuple(put(x) if x is not None else None for x in puttables), aux
+        return
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for put, puttables, aux in gen:
+                q.put((tuple(put(x) if x is not None else None
+                             for x in puttables), aux))
+        except BaseException as e:   # forwarded, re-raised on the main thread
+            q.put(e)
+            return
+        q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True,
+                         name="pipnet-put-prefetch")
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def _ood_chunks(ood_loader: Loader, start_epoch: int, size: int):
     """Infinite stream of fixed-``size`` (xs1, xs2) OOD chunks.
 
@@ -161,36 +211,57 @@ class Trainer:
         # epoch (diagnoses host-loader vs tunnel-transfer vs device bottlenecks)
         import os
         timing = os.environ.get("PIPNET_EPOCH_TIMING") == "1"
-        t_wait = t_put = t_disp = 0.0
+        times = {"wait": 0.0, "put": 0.0, "qwait": 0.0, "disp": 0.0}
+
+        if timing:
+            inner_put = put
+
+            def put(x):                             # noqa: F811 (shadow on purpose)
+                t0 = time.perf_counter()
+                out = inner_put(x)
+                times["put"] += time.perf_counter() - t0    # worker thread; GIL-safe
+                return out
+
+        def host_gen():
+            """Everything up to the H2D put, host-side: loader pull, OOD
+            concat, mesh-divisibility trim, per-step scalars."""
+            t_mark = time.perf_counter()
+            for i, batch in enumerate(loader.epoch(epoch)):
+                if timing:
+                    t_now = time.perf_counter()
+                    times["wait"] += t_now - t_mark
+                xs1, xs2, ys = batch.xs1, batch.xs2, batch.ys
+                if ood_iter is not None:
+                    ox1, ox2 = next(ood_iter)
+                    xs1 = np.concatenate([xs1, ox1])
+                    if xs2 is not None:
+                        xs2 = np.concatenate([xs2, ox2])
+                    ys = np.concatenate([ys, np.full(len(ox1), -1, ys.dtype)])
+                if n_shards > 1 and len(ys) % n_shards:
+                    # ragged FINAL batch only (reference keeps tails >= 20% of
+                    # a batch): drop the < n_shards remainder so the leading
+                    # dim shards evenly; with OOD the trimmed rows are OOD rows
+                    keep = len(ys) - (len(ys) % n_shards)
+                    if keep == 0:
+                        continue    # tail smaller than the mesh
+                    xs1, ys = xs1[:keep], ys[:keep]
+                    xs2 = xs2[:keep] if xs2 is not None else None
+                scalars = Scalars.make(
+                    net_t=net_t0 + i,
+                    net_T=max(net_T, 1),
+                    epoch_frac=(epoch - 1) + i / max(iters, 1),  # train.py:322
+                    align_pf_weight=align_pf_w,
+                    tanh_weight=tanh_w)
+                yield put, (xs1, xs2, ys), (scalars, len(ys))
+                if timing:
+                    t_mark = time.perf_counter()
+
         t_mark = time.perf_counter()
-        batches = loader.epoch(epoch)
-        for i, batch in enumerate(batches):
+        for (xs1d, xs2d, ysd), (scalars, nrows) in _put_prefetch(host_gen()):
             if timing:
                 t_now = time.perf_counter()
-                t_wait += t_now - t_mark
+                times["qwait"] += t_now - t_mark
                 t_mark = t_now
-            xs1, xs2, ys = batch.xs1, batch.xs2, batch.ys
-            if ood_iter is not None:
-                ox1, ox2 = next(ood_iter)
-                xs1 = np.concatenate([xs1, ox1])
-                if xs2 is not None:
-                    xs2 = np.concatenate([xs2, ox2])
-                ys = np.concatenate([ys, np.full(len(ox1), -1, ys.dtype)])
-            if n_shards > 1 and len(ys) % n_shards:
-                # ragged FINAL batch only (reference keeps tails >= 20% of a
-                # batch): drop the < n_shards remainder so the leading dim
-                # shards evenly; with OOD active the trimmed rows are OOD rows
-                keep = len(ys) - (len(ys) % n_shards)
-                if keep == 0:
-                    continue    # tail smaller than the mesh: nothing to shard
-                xs1, ys = xs1[:keep], ys[:keep]
-                xs2 = xs2[:keep] if xs2 is not None else None
-            scalars = Scalars.make(
-                net_t=net_t0 + i,
-                net_T=max(net_T, 1),
-                epoch_frac=(epoch - 1) + i / max(iters, 1),   # train.py:322
-                align_pf_weight=align_pf_w,
-                tanh_weight=tanh_w)
             if acc is None:
                 # zero totals in the step's own metric structure (host-side
                 # shapes only; the zeros ship with the first dispatch)
@@ -199,33 +270,28 @@ class Trainer:
                     jax.tree_util.tree_map(
                         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                         self.state),
-                    jax.ShapeDtypeStruct(xs1.shape, xs1.dtype),
-                    (jax.ShapeDtypeStruct(xs2.shape, xs2.dtype)
-                     if xs2 is not None else None),
-                    jax.ShapeDtypeStruct(ys.shape, ys.dtype),
+                    jax.ShapeDtypeStruct(xs1d.shape, xs1d.dtype),
+                    (jax.ShapeDtypeStruct(xs2d.shape, xs2d.dtype)
+                     if xs2d is not None else None),
+                    jax.ShapeDtypeStruct(ysd.shape, ysd.dtype),
                     jax.tree_util.tree_map(
                         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                         scalars))
                 acc = jax.tree_util.tree_map(
                     lambda sd: np.zeros(sd.shape, sd.dtype), out_sds[1])
-            xs1d = put(xs1)
-            xs2d = put(xs2) if xs2 is not None else None
-            ysd = put(ys)
-            if timing:
-                t_now = time.perf_counter()
-                t_put += t_now - t_mark
-                t_mark = t_now
             self.state, acc = step(self.state, xs1d, xs2d, ysd, scalars, acc)
             n_steps += 1
-            n_images += len(ys)
+            n_images += nrows
             if timing:
                 t_now = time.perf_counter()
-                t_disp += t_now - t_mark
+                times["disp"] += t_now - t_mark
                 t_mark = t_now
 
         if timing:
-            print(f"[epoch-timing] steps={n_steps} wait={t_wait*1e3:.0f}ms "
-                  f"put={t_put*1e3:.0f}ms dispatch={t_disp*1e3:.0f}ms", flush=True)
+            print(f"[epoch-timing] steps={n_steps} "
+                  f"wait={times['wait']*1e3:.0f}ms put={times['put']*1e3:.0f}ms "
+                  f"qwait={times['qwait']*1e3:.0f}ms "
+                  f"dispatch={times['disp']*1e3:.0f}ms", flush=True)
         if acc is not None:
             metrics = jax.device_get(acc)
             fine_correct += int(metrics.pop("fine_correct"))
