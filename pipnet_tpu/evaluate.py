@@ -28,6 +28,22 @@ def run(argv=None) -> int:
                         "report (ref pipnet/test.py:242-292 / OOD_checking.ipynb)")
     p.add_argument("--skip_per_node", action="store_true",
                    help="skip the per-node accuracy/F1 sweep")
+    p.add_argument("--threshold_prune", type=float, default=None,
+                   help="prune_by_threshold.ipynb cells 11-14: zero the "
+                        "classifier columns of prototypes whose top-k mean "
+                        "activation over ANY relevant leaf's projection "
+                        "images falls below this threshold; writes "
+                        "prototype_report.txt and re-evaluates")
+    p.add_argument("--part_purity_csv", action="store_true",
+                   help="write the per-prototype top-k patch-box CSV "
+                        "(util/eval_cub_csv.py get_topk_cub); with the three "
+                        "annotation paths below, also score part purity")
+    p.add_argument("--parts_loc", default=None,
+                   help="CUB parts/part_locs.txt (with --part_purity_csv)")
+    p.add_argument("--parts_name", default=None,
+                   help="CUB parts/parts.txt (with --part_purity_csv)")
+    p.add_argument("--images_id", default=None,
+                   help="CUB images.txt id<->path map (with --part_purity_csv)")
     args = p.parse_args(argv)
 
     from .config import (HeadConfig, LossConfig, ModelConfig, OptimConfig,
@@ -157,6 +173,55 @@ def run(argv=None) -> int:
                                     seed=cfg.train.seed)
         ood_scores, *_ = collect(ood_loaders.test)
         result["ood"] = eval_ood(scores, ys, ood_scores, tree.num_classes)
+
+    if args.threshold_prune is not None or args.part_purity_csv:
+        from .interp import (eval_prototypes_parts_csv, prototype_report,
+                             run_projection, threshold_prune,
+                             write_topk_patch_csv)
+        proj = run_projection(model, tree, trainer.state.params,
+                              trainer.state.batch_stats, loaders.project,
+                              image_size=cfg.model.image_size)
+
+    if args.part_purity_csv:
+        csv_path = os.path.join(args.run_dir, "topk_patches.csv")
+        write_topk_patch_csv(proj, csv_path, k=10, tree=tree, w_eff=w_eff)
+        result["topk_patch_csv"] = csv_path
+        if args.parts_loc and args.parts_name and args.images_id:
+            result["part_purity"] = eval_prototypes_parts_csv(
+                csv_path, args.parts_loc, args.parts_name, args.images_id,
+                image_size=cfg.model.image_size)
+
+    if args.threshold_prune is not None:
+        # zero overspecific prototypes' classifier columns, report, re-test
+        # (ref prune_by_threshold.ipynb cells 11-14: accuracy before/after)
+        cls_w = np.asarray(trainer.state.params["head"]["cls_weight"])
+        new_w, _means = threshold_prune(proj, tree, cls_w, w_eff,
+                                        threshold=args.threshold_prune)
+        report = prototype_report(
+            proj, tree, w_eff,
+            np.asarray(trainer.state.params["head"]["proto_presence"]))
+        rp = os.path.join(args.run_dir, "prototype_report.txt")
+        with open(rp, "w") as f:
+            f.write(report + "\n")
+        dead_before = int((np.abs(cls_w).sum(0) == 0).sum())
+        dead_after = int((np.abs(new_w).sum(0) == 0).sum())
+        pruned_params = dict(trainer.state.params)
+        pruned_params["head"] = dict(pruned_params["head"])
+        pruned_params["head"]["cls_weight"] = jnp.asarray(new_w)
+        state_before = trainer.state
+        trainer.state = trainer.state._replace(params=pruned_params)
+        after = trainer.evaluate(
+            loaders.test, leave_out_classes=leave_out,
+            apply_overspecificity_mask=args.apply_overspecificity_mask,
+            path_prob_softmax_tau=args.path_prob_softmax_tau)
+        trainer.state = state_before
+        result["threshold_prune"] = {
+            "threshold": args.threshold_prune,
+            "pruned_columns": dead_after - dead_before,
+            "top1_before": result["top1"], "top1_after": after["top1"],
+            "top5_before": result["top5"], "top5_after": after["top5"],
+            "prototype_report": rp,
+        }
 
     suffix = ""
     if args.apply_overspecificity_mask:

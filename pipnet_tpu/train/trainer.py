@@ -327,7 +327,11 @@ class Trainer:
         cfg = self.cfg.train
         n_pre = cfg.epochs_pretrain if epochs_pretrain is None else epochs_pretrain
         n_epochs = cfg.epochs if epochs is None else epochs
+        n_pre_log = n_pre
         if start_epoch > 0:
+            # resume skips pretraining but keeps the original epoch NUMBERING
+            # (otherwise resumed CSV/JSONL rows land n_pre lower than the
+            # fresh run's and overlap earlier rows)
             n_pre = 0
         if self.state is None:
             self.init_state()
@@ -361,11 +365,11 @@ class Trainer:
             info = self.run_epoch(epoch, pretrain=False, net_t0=net_t, net_T=net_T,
                                   loader=self.loaders.train, ood_loader=ood_loader)
             net_t = info["net_t_end"]
-            self._log_epoch(f"{log_prefix}train", epoch + n_pre, info)
+            self._log_epoch(f"{log_prefix}train", epoch + n_pre_log, info)
             if (epoch % eval_every == 0 or epoch == n_epochs) and n_epochs > 1:
                 last_eval = self.evaluate(self.loaders.test)
                 self.log.message(f"epoch {epoch}: test top1 {last_eval['top1']:.4f}")
-                self.log.log_values("log_epoch_overview", epoch + n_pre,
+                self.log.log_values("log_epoch_overview", epoch + n_pre_log,
                                     f"{last_eval['top1']:.5f}",
                                     f"{last_eval['top5']:.5f}",
                                     f"{info['fine_accuracy']:.5f}",

@@ -209,6 +209,87 @@ class TestEvaluateDriver:
 
 
 @pytest.mark.slow
+class TestResNetPruneDriver:
+    def test_resnet50_train_threshold_prune_part_purity(self, tmp_path):
+        """BASELINE config #4 (CARS/PETS + ResNet-50 + threshold pruning):
+        the ResNet/BN training path and ``--threshold_prune`` /
+        ``--part_purity_csv`` co-run through the real drivers — Trainer.fit
+        on a flat tree with resnet50_inat, then the evaluate CLI prunes by
+        projection-activation threshold (prune_by_threshold.ipynb cells
+        11-14) and scores part purity against CUB-format keypoint files
+        (util/eval_cub_csv.py)."""
+        import json
+        import os
+
+        from pipnet_tpu import evaluate as ev
+        from pipnet_tpu.tree import flat_tree
+
+        root = tmp_path
+        train_dir, test_dir, _phy = generate_synthetic_dataset(
+            str(root), num_classes=4, images_per_class=6, image_size=64)
+        classes = sorted(os.listdir(train_dir))
+        tree_root = flat_tree(classes, 2048)
+        cfg = RunConfig(
+            model=ModelConfig(backbone="resnet50_inat", image_size=64,
+                              num_protos_per_child=3,
+                              head=HeadConfig(softmax_tau=1.0, protopool=False)),
+            train=TrainConfig(
+                batch_size=6, batch_size_pretrain=6, epochs=1, epochs_pretrain=1,
+                epochs_finetune=0, epochs_finetune_classifier=0, freeze_epochs=10,
+                seed=1, optim=OptimConfig(lr=0.05, lr_block=5e-4, lr_net=5e-4),
+                loss=LossConfig(align=True, uni=False, align_pf=True, tanh=True,
+                                tanh_during_second_phase=True, tanh_desc=False,
+                                kernel_orth=False, minimize_contrasting_set=False,
+                                weighted_ce=True)),
+            log_dir=str(root / "run"),
+            dataset=f"folder:{train_dir}:{test_dir}")
+        model, tree = build_pipnet(tree_root, cfg.model, weighted=True,
+                                   class_names=classes)
+        loaders = build_loaders(train_dir, test_dir, image_size=64,
+                                batch_size=6, batch_size_pretrain=6, seed=1)
+        trainer = Trainer(model, tree, cfg, loaders)
+        trainer.init_state()
+        assert trainer.state.batch_stats, "resnet path must exercise BN state"
+        trainer.fit(eval_every=1, save_every=10)
+
+        # CUB-format part annotations over the synthetic images: one visible
+        # keypoint at each image's center ('head'), its left/right pair off-center
+        images_txt = root / "images.txt"
+        parts_txt = root / "parts.txt"
+        locs_txt = root / "part_locs.txt"
+        rows, locs = [], []
+        iid = 0
+        for cls in classes:
+            for fn in sorted(os.listdir(os.path.join(train_dir, cls))):
+                iid += 1
+                rows.append(f"{iid} {cls}/{fn}")
+                locs.append(f"{iid} 1 32.0 32.0 1")
+                locs.append(f"{iid} 2 8.0 8.0 1")
+                locs.append(f"{iid} 3 56.0 8.0 1")
+        images_txt.write_text("\n".join(rows) + "\n")
+        parts_txt.write_text("1 head\n2 left eye\n3 right eye\n")
+        locs_txt.write_text("\n".join(locs) + "\n")
+
+        rc = ev.run(["--run_dir", str(root / "run"), "--skip_per_node",
+                     "--threshold_prune", "0.1", "--part_purity_csv",
+                     "--parts_loc", str(locs_txt),
+                     "--parts_name", str(parts_txt),
+                     "--images_id", str(images_txt)])
+        assert rc == 0
+        with open(root / "run" / "eval_report.json") as f:
+            report = json.load(f)
+        tp = report["threshold_prune"]
+        assert tp["threshold"] == 0.1 and "pruned_columns" in tp
+        assert 0.0 <= tp["top1_after"] <= 1.0
+        assert os.path.exists(tp["prototype_report"])
+        assert "Node:" in open(tp["prototype_report"]).read()
+        assert os.path.exists(report["topk_patch_csv"])
+        pp = report["part_purity"]
+        assert pp["num_prototypes"] > 0
+        assert 0.0 <= pp["mean_max_purity"] <= 1.0
+
+
+@pytest.mark.slow
 class TestBYOL:
     def test_byol_step(self, tmp_path):
         """A BYOL-enabled train step runs, computes the byol loss, and the EMA
