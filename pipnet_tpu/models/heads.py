@@ -174,7 +174,11 @@ class PrototypeHead(nn.Module):
                     # in-kernel; the (B, H, W, P) maps never touch HBM
                     # (round-2 judge next #6).  Only train steps whose loss
                     # set reads pf exclusively through align_pf take this
-                    # path (see train/step.py).
+                    # path (see train/step.py) — and it is OPT-IN
+                    # (PIPNET_NOPF_HEAD=1): measured 3% SLOWER than
+                    # materializing pf on the v5e (VJP recompute outweighs
+                    # the saved HBM writes, BENCH_NOTES round 3); kept for
+                    # HBM-capacity-bound shapes.
                     fused = make_fused_head_nopf(tree, tau=cfg.softmax_tau,
                                                  interpret=interp)
                     pooled, logsum = fused(

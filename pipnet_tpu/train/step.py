@@ -14,6 +14,7 @@ computes the identical update deterministically.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -206,12 +207,18 @@ def make_train_step(model: PIPNet, tree: TreeArrays, cfg: RunConfig,
                 else jax.lax.stop_gradient(p),
                 params, _labels)
 
-        # pf is consumed ONLY by align_pf in the supported loss sets; when the
-        # pallas head runs, reduce align_pf in-kernel and never write the
-        # (B, H, W, P) maps to HBM (heads.py fuse_align_pf path).  Harmless
-        # no-op when head_supports_fusion rejects the config.
+        # pf is consumed ONLY by align_pf in the supported loss sets; the
+        # no-pf kernel (heads.py fuse_align_pf) reduces align_pf in-kernel and
+        # never writes the (B, H, W, P) maps to HBM.  DEFAULT OFF — measured
+        # NEGATIVE on the v5e (round 3, BENCH_NOTES): 322.0 vs 331.8 img/s,
+        # because the custom VJP recomputes both views' maps and the saved
+        # ~0.7 GB/step of HBM writes does not pay for the extra VPU work.
+        # Opt-in via PIPNET_NOPF_HEAD=1 (useful where HBM *capacity* binds:
+        # bigger trees or batches).  Harmless no-op when head_supports_fusion
+        # rejects the config.
         fuse_align_pf = (model.cfg.use_pallas_head and lcfg.align_pf
-                         and not ph.finetune)
+                         and not ph.finetune
+                         and os.environ.get("PIPNET_NOPF_HEAD") == "1")
 
         def loss_fn(params):
             params = _prune(params)

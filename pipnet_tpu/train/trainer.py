@@ -29,26 +29,28 @@ from .step import (Scalars, StepStatics, TrainState, init_train_state,
 
 
 def _put_prefetch(gen, depth: int = 2):
-    """Issue the H2D ``device_put`` of upcoming batches from a background
-    thread so the transfer overlaps the current step's device compute.
+    """Optionally issue the H2D ``device_put`` of upcoming batches from a
+    background thread (``PIPNET_PUT_PREFETCH=1``).
 
     ``gen`` yields ``(put, puttables, aux)``; each puttable is transferred
     with ``put`` (None passes through) and the results are re-yielded in
     order on the calling thread.  Depth 2 keeps at most two
     extra uint8 batches resident (~20 MB at 224², negligible vs HBM).
 
-    Round-2 measurement: the serialized put cost ~43 ms/batch on the
-    tunneled backend, capping end-to-end at ~88% of device-only throughput
-    (BENCH_NOTES).  Kill-switch: ``PIPNET_NO_PUT_PREFETCH=1`` restores the
-    serial path.  (The reference overlaps H2D via torch DataLoader
-    ``pin_memory`` + CUDA's copy engine, util/data.py:211-214; a TPU-tunnel
-    backend has no exposed copy stream, so overlap must come from the host
-    side.)"""
+    DEFAULT OFF — measured NEGATIVE on the tunneled backend (round 3,
+    BENCH_NOTES): the thread variant measured 190.6 img/s end-to-end vs
+    278.4 serial on the 1-core host.  jit dispatch is already async, so the
+    serial put of batch i+1 naturally overlaps step i's device compute; the
+    extra thread only adds GIL contention with the dispatch loop and queue
+    latency.  (The reference overlaps H2D via torch DataLoader
+    ``pin_memory`` + CUDA's copy engine, util/data.py:211-214.)  Kept behind
+    the env flag for multi-core hosts, where the GIL-contention term
+    shrinks and decode+assembly can genuinely run ahead."""
     import os
     import queue
     import threading
 
-    if os.environ.get("PIPNET_NO_PUT_PREFETCH") == "1":
+    if os.environ.get("PIPNET_PUT_PREFETCH") != "1":
         for put, puttables, aux in gen:
             yield tuple(put(x) if x is not None else None for x in puttables), aux
         return

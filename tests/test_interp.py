@@ -385,10 +385,13 @@ class TestPallasHeadNoPF:
         np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
                                    atol=1e-5, err_msg="dL/dkernel")
 
-    def test_train_step_fused_equals_unfused(self, tiny_root):
+    def test_train_step_fused_equals_unfused(self, tiny_root, monkeypatch):
         """One full train step with use_pallas_head (interpret on CPU):
-        fuse_align_pf engages automatically and must produce the same loss
-        and parameter update as the pf-materializing path (f32)."""
+        with PIPNET_NOPF_HEAD=1 (the path is opt-in since the round-3
+        measurement — see train/step.py) fuse_align_pf engages and must
+        produce the same loss and parameter update as the pf-materializing
+        path (f32)."""
+        monkeypatch.setenv("PIPNET_NOPF_HEAD", "1")
         import jax
         import jax.numpy as jnp
         from pipnet_tpu.config import (HeadConfig, LossConfig, ModelConfig,
