@@ -118,6 +118,10 @@ class TrainConfig:
     # "off" reproduces that; "on" applies the intended +0.01 to weights <=1e-3.
     weight_reactivation: str = "off"
     data_parallel: int = 1               # number of data-parallel shards (mesh size)
+    # prototype-axis model parallelism: shard the stacked prototype axis P of
+    # the head params (and their optimizer state) over a second mesh axis —
+    # the scaling axis for very large phylogenies (runtime/mesh.py).  1 = off.
+    model_parallel: int = 1
     # device-side transform2 (ops/device_augment): the CARS recipe uses the
     # Solarize/Color space (TrivialAugmentWideNoShapeWithColor)
     device_augment_cars: bool = False

@@ -102,6 +102,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     add("--data_parallel", type=int, default=0,
         help="data-parallel shards: 0 = all visible devices")
+    add("--model_parallel", type=int, default=1,
+        help="shard the stacked prototype axis of the head over this many "
+             "devices (2-D data x model mesh; for very large phylogenies — "
+             "see runtime/mesh.py; requires the XLA head)")
     add("--compute_dtype", type=str, default="float32",
         choices=["float32", "bfloat16"])
     add("--fast_gelu", type=str, default="n",
@@ -125,6 +129,13 @@ def run_pipnet(argv=None) -> int:
 
     import dataclasses
 
+    # this jax build ships an 'axon' TPU plugin that takes precedence over the
+    # JAX_PLATFORMS env var; if virtual CPU devices were requested (the
+    # multi-chip smoke path of the verify skill / dryrun_multichip), make them
+    # actually materialize before the backend initializes
+    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import numpy as np
 
@@ -143,7 +154,8 @@ def run_pipnet(argv=None) -> int:
                                   fast_gelu=args.fast_gelu == "y",
                                   use_pallas_head=args.use_pallas_head == "y",
                                   use_pallas_backbone=args.use_pallas_backbone == "y"),
-        train=dataclasses.replace(cfg.train, data_parallel=args.data_parallel))
+        train=dataclasses.replace(cfg.train, data_parallel=args.data_parallel,
+                                  model_parallel=args.model_parallel))
     device_augment = args.device_augment in ("y", "full")
     device_geometric = args.device_augment == "full"
 

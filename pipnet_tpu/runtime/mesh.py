@@ -39,3 +39,71 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# -- prototype-axis model parallelism ----------------------------------------
+#
+# The stacked prototype axis ``P`` (tree/compile.py) is this architecture's
+# real scaling axis (SURVEY §5.7): every tree node adds a prototype bank, so
+# at large phylogenies (10k+ species) the head parameters, their optimizer
+# state, and the (B, H, W, P) activation maps outgrow one chip long before the
+# fixed-size backbone does.  A 2-D ("data", "model") mesh shards exactly those
+# along P while the backbone stays pure data-parallel.  Every head op is a
+# plain matmul or a one-hot-matmul segment reduction (ops/segment.py), so
+# GSPMD propagates the shardings and inserts the ICI collectives — there is no
+# hand-written collective code, matching the DP design above.
+#
+# The fused Pallas head is a single-device kernel; model-parallel runs use the
+# XLA head (Trainer validates this).
+
+# head param name -> dim carrying the stacked prototype axis (models/heads.py)
+PROTO_AXIS_PARAMS = {
+    "add_on_kernel": 1,    # (C_in, P)
+    "add_on_bias": 0,      # (P,)
+    "cls_weight": 1,       # (C, P)
+    "proto_presence": 0,   # (P, 2)
+}
+
+
+def dp_mp_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
+    """2-D ("data", "model") mesh over the first n_data*n_model devices."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_model
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices for a ({n_data},{n_model}) "
+                         f"mesh, found {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(n_data, n_model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def _proto_axis_spec(path, leaf) -> P:
+    """PartitionSpec for one state leaf: shard the prototype axis of the head
+    params (and of their optimizer-state mirrors, which carry the same leaf
+    names through optax's mu/nu trees); everything else replicated."""
+    ndim = getattr(leaf, "ndim", None)
+    for entry in reversed(path):
+        name = getattr(entry, "key", getattr(entry, "name", None))
+        if name in PROTO_AXIS_PARAMS:
+            dim = PROTO_AXIS_PARAMS[name]
+            if ndim is not None and ndim > dim:
+                spec = [None] * ndim
+                spec[dim] = "model"
+                return P(*spec)
+    return P()
+
+
+def state_shardings(mesh: Mesh, state):
+    """NamedSharding pytree for a train state.
+
+    On a 1-D data mesh everything is replicated (the DP contract above); on a
+    ("data", "model") mesh the head params' prototype axis is sharded over
+    "model".  Works on the full TrainState — optax mu/nu mirror the param tree
+    leaf names, so path matching shards them identically to their params.
+    """
+    if "model" not in mesh.axis_names:
+        rep = NamedSharding(mesh, P())
+        return jax.tree.map(lambda _: rep, state)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _proto_axis_spec(path, leaf)),
+        state)

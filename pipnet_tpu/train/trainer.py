@@ -20,7 +20,8 @@ from ..config import RunConfig
 from ..data.loader import Loader, Loaders
 from ..models.pipnet import PIPNet
 from ..runtime.log import RunLog
-from ..runtime.mesh import batch_sharding, data_mesh, replicated_sharding
+from ..runtime.mesh import (batch_sharding, data_mesh, dp_mp_mesh,
+                            replicated_sharding, state_shardings)
 from ..tree.compile import TreeArrays
 from .checkpoint import save_checkpoint
 from .optimizer import Phase, phase_for_epoch
@@ -117,9 +118,24 @@ class Trainer:
         self.loaders = loaders
         self.ood_loaders = ood_loaders
         self.log = log or RunLog(cfg.log_dir)
-        # data_parallel: 0 = all local devices, otherwise that many shards
-        self.mesh = data_mesh(None if cfg.train.data_parallel == 0
-                              else cfg.train.data_parallel)
+        # data_parallel: 0 = all local devices, otherwise that many shards.
+        # model_parallel > 1 adds a second mesh axis sharding the stacked
+        # prototype axis of the head (runtime/mesh.py) — the Pallas head is a
+        # single-device kernel, so that combination is rejected here.
+        mp = cfg.train.model_parallel
+        if mp > 1:
+            if cfg.model.use_pallas_head:
+                raise ValueError(
+                    "model_parallel > 1 shards the prototype axis across "
+                    "devices; the fused Pallas head is a single-device "
+                    "kernel — build the model with use_pallas_head=False")
+            import jax as _jax
+            dp = (cfg.train.data_parallel
+                  or len(_jax.devices()) // mp)
+            self.mesh = dp_mp_mesh(dp, mp)
+        else:
+            self.mesh = data_mesh(None if cfg.train.data_parallel == 0
+                                  else cfg.train.data_parallel)
         self._step_cache: Dict[tuple, callable] = {}
         self.eval_step = make_eval_step(model, tree)
         self.state: Optional[TrainState] = None
@@ -131,6 +147,12 @@ class Trainer:
         sample = jnp.zeros((2, size, size, 3), jnp.float32)
         rng = jax.random.PRNGKey(self.cfg.train.seed)
         self.state = init_train_state(self.model, rng, sample)
+        if "model" in self.mesh.axis_names:
+            # place explicitly: head params (+ optimizer mirrors) sharded on
+            # the prototype axis, everything else replicated — GSPMD
+            # propagates from here through the jitted step
+            self.state = jax.device_put(
+                self.state, state_shardings(self.mesh, self.state))
         return self.state
 
     def _get_step(self, statics: StepStatics):
