@@ -46,44 +46,16 @@ def run(argv=None) -> int:
                    help="CUB images.txt id<->path map (with --part_purity_csv)")
     args = p.parse_args(argv)
 
-    from .config import (HeadConfig, LossConfig, ModelConfig, OptimConfig,
-                         RunConfig, TrainConfig)
     from .runtime.profiling import enable_compilation_cache
     enable_compilation_cache()
     from .data import build_loaders
     from .datasets import resolve_dataset
     from .eval import sparsity_stats
-    from .models import build_pipnet
+    from .run_io import load_run, load_run_config
     from .runtime.log import RunLog
-    from .train.checkpoint import restore_checkpoint
     from .train.trainer import Trainer
-    from .tree import build_tree_from_config, flat_tree
 
-    with open(os.path.join(args.run_dir, "metadata", "config.json")) as f:
-        saved = json.load(f)
-
-    def build(cls, d):
-        import dataclasses
-        kw = {}
-        for fld in dataclasses.fields(cls):
-            if fld.name in d:
-                v = d[fld.name]
-                if dataclasses.is_dataclass(fld.type) or fld.name in (
-                        "head", "optim", "loss", "model", "train"):
-                    sub = {"head": HeadConfig, "optim": OptimConfig,
-                           "loss": LossConfig, "model": ModelConfig,
-                           "train": TrainConfig}[fld.name]
-                    v = build(sub, v)
-                elif isinstance(v, list):
-                    v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
-                kw[fld.name] = v
-        return cls(**kw)
-
-    cfg = RunConfig(model=build(ModelConfig, saved["model"]),
-                    train=build(TrainConfig, saved["train"]),
-                    **{k: saved[k] for k in ("log_dir", "dataset", "phylo_config",
-                                             "leave_out_classes")
-                       if saved.get(k) is not None})
+    cfg = load_run_config(args.run_dir)
     dataset = args.dataset or cfg.dataset
     train_dir, test_dir, project_dir, dkw = resolve_dataset(dataset,
                                                             seed=cfg.train.seed)
@@ -92,28 +64,14 @@ def run(argv=None) -> int:
                             batch_size=cfg.train.batch_size,
                             batch_size_pretrain=cfg.train.batch_size_pretrain,
                             seed=cfg.train.seed)
-    phylo = dkw.get("phylo_path") or (cfg.phylo_config if cfg.phylo_config
-                                      and os.path.exists(str(cfg.phylo_config)) else None)
-    if phylo and str(phylo).endswith((".phy", ".tre")):
-        root = build_tree_from_config(phylo, None)
-    elif cfg.phylo_config:
-        import yaml
-        with open(cfg.phylo_config) as f:
-            pc = yaml.safe_load(f)
-        d = pc.get("phyloDistances_string")
-        root = build_tree_from_config(pc["phylogeny_path"],
-                                      None if d in ("None", None) else d)
-    else:
-        root = flat_tree(loaders.classes, cfg.model.num_features or 512)
-
-    model, tree = build_pipnet(root, cfg.model,
-                               weighted=cfg.train.loss.weighted_ce,
-                               class_names=loaders.classes)
+    bundle = load_run(args.run_dir, checkpoint=args.checkpoint,
+                      dataset=dataset, classes=loaders.classes,
+                      phylo_path=dkw.get("phylo_path"))
+    model, tree = bundle.model, bundle.tree
     trainer = Trainer(model, tree, cfg, loaders, log=RunLog(args.run_dir))
-    trainer.init_state()
-    ckpt = os.path.join(args.run_dir, "checkpoints", args.checkpoint)
-    trainer.state, extra = restore_checkpoint(ckpt, trainer.state)
-    print(f"restored {ckpt}: {extra}")
+    trainer.state = bundle.state
+    print(f"restored {os.path.join(args.run_dir, 'checkpoints', args.checkpoint)}: "
+          f"{bundle.extra}")
 
     leave_out = None
     if args.leave_out_classes:

@@ -36,11 +36,13 @@ def explain_image(model: PIPNet, tree: TreeArrays, params, batch_stats,
     if batch_stats:
         variables["batch_stats"] = batch_stats
     out = model.apply(variables, jnp.asarray(x[None]), inference=True)
-    pooled = np.asarray(out["pooled"][0])
-    logits = np.asarray(out["logits"][0])
-    pf = np.asarray(out["proto_features"][0])               # (H, W, P)
+    # .astype: bf16-trained checkpoints fetch as ml_dtypes.bfloat16, which
+    # does not implement the 'f' format code used in the artifact names
+    pooled = np.asarray(out["pooled"][0]).astype(np.float32)
+    logits = np.asarray(out["logits"][0]).astype(np.float32)
+    pf = np.asarray(out["proto_features"][0]).astype(np.float32)  # (H, W, P)
     logp = np.asarray(joint_leaf_log_distribution(
-        jnp.asarray(logits[None]), tree))[0]
+        jnp.asarray(logits[None]), tree))[0].astype(np.float32)
     order = np.argsort(-logp)[:top_classes]
 
     w_eff = np.asarray(model.apply({"params": params},

@@ -212,6 +212,10 @@ def run_pipnet(argv=None) -> int:
             distances = None
     if phylo_path:
         root = build_tree_from_config(phylo_path, distances)
+        if args.phylo_config in ("auto", None):
+            # persist the auto-resolved phylogeny into the saved config so
+            # evaluate/serve can rebuild the tree from the run dir alone
+            cfg = dataclasses.replace(cfg, phylo_config=str(phylo_path))
     else:
         root = flat_tree(loaders.classes, cfg.model.num_features or 512)
     print(f"tree: {len(root.nodes_with_children())} internal nodes, "

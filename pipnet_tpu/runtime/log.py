@@ -57,6 +57,13 @@ class RunLog:
         with open(path, "w") as f:
             json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
 
+    def save_classes(self, classes) -> None:
+        """Persist the class-name order so evaluate/serve (run_io.load_run)
+        can rebuild the model without the training dataset on disk."""
+        path = os.path.join(self.metadata_dir, "classes.json")
+        with open(path, "w") as f:
+            json.dump(list(classes), f, indent=0)
+
     def create_log(self, name: str, *columns: str) -> None:
         if name in self._columns:
             return

@@ -1,0 +1,212 @@
+"""Production inference / serving driver.
+
+Counterpart of the reference's de-facto serving surface — ``test_nb.py``
+(checkpoint reload + eval forward) and ``util/visualize_prediction.py``
+(per-image explanations) — redesigned as a TPU serving path:
+
+* one jitted fixed-shape forward (batch padding, no recompiles) with the
+  inference sparsification and the joint tree decode fused into the same
+  program — and WITHOUT the reference's duplicated-view trick
+  (``pipnet/train.py:644-645`` doubles the batch only to mirror train-time
+  shapes; nothing in the eval forward couples samples, so serving runs the
+  single view and saves 2x compute);
+* host-side decode + PIL resize identical to the eval transform
+  (``transform_no_augment``, ref util/data.py:762-766), device-side compute;
+* ``Predictor.bench()`` reports single-image latency percentiles and batch
+  throughput — the serving-side analog of bench.py's training numbers.
+
+CLI::
+
+    python -m pipnet_tpu.serve --run_dir runs/x --images a.png b.png
+    python -m pipnet_tpu.serve --run_dir runs/x --images a.png --explain out/
+    python -m pipnet_tpu.serve --run_dir runs/x --bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class Predictor:
+    """Load a trained run and serve batched classifications.
+
+    ``batch_size`` fixes the compiled shape; shorter requests are padded and
+    the padding rows dropped before returning.  Results per image:
+    ``class``/``prob`` (top-1 over the joint leaf distribution,
+    ref util/node.py:300-395), ``topk`` list, ``abstained`` (no positive
+    classifier evidence anywhere, ref pipnet/test.py:66-70), and the number
+    of active prototypes (local explanation size, ref pipnet/test.py:90-96).
+    """
+
+    def __init__(self, run_dir: str, checkpoint: str = "net_trained_last",
+                 batch_size: int = 8, dataset: Optional[str] = None,
+                 classes: Optional[List[str]] = None,
+                 path_prob_softmax_tau: float = 1.0):
+        import jax
+        import jax.numpy as jnp
+
+        from .data.augment import EvalTransform
+        from .models.pipnet import joint_leaf_log_distribution
+        from .run_io import load_run
+        from .runtime.profiling import enable_compilation_cache
+
+        enable_compilation_cache()
+        self.bundle = load_run(run_dir, checkpoint=checkpoint,
+                               dataset=dataset, classes=classes)
+        model, tree = self.bundle.model, self.bundle.tree
+        self.classes = self.bundle.classes
+        self.batch_size = batch_size
+        self.image_size = self.bundle.cfg.model.image_size
+        self._transform = EvalTransform(self.image_size)
+        self._variables = {"params": self.bundle.state.params}
+        if self.bundle.state.batch_stats:
+            self._variables["batch_stats"] = self.bundle.state.batch_stats
+
+        def fwd(variables, xs):
+            out = model.apply(variables, xs, inference=True)
+            logp = joint_leaf_log_distribution(
+                out["logits"], tree, softmax_tau=path_prob_softmax_tau)
+            return out["logits"], out["pooled"], logp
+
+        self._fwd = jax.jit(fwd)
+        self._jnp = jnp
+
+    # -- input handling ------------------------------------------------------
+    def _prep(self, images: Sequence) -> np.ndarray:
+        """PIL images / uint8 arrays / file paths -> normalized (N,S,S,3)."""
+        from PIL import Image
+        rows = []
+        for im in images:
+            if isinstance(im, (str, os.PathLike)):
+                im = Image.open(im).convert("RGB")
+            elif isinstance(im, np.ndarray):
+                im = Image.fromarray(im.astype(np.uint8)).convert("RGB")
+            rows.append(self._transform(im))
+        return np.stack(rows)
+
+    # -- serving -------------------------------------------------------------
+    def predict(self, images: Sequence, topk: int = 3) -> List[Dict]:
+        xs = self._prep(images)
+        results: List[Dict] = []
+        B = self.batch_size
+        for start in range(0, len(xs), B):
+            chunk = xs[start:start + B]
+            n = len(chunk)
+            if n < B:                       # pad to the compiled shape
+                chunk = np.concatenate(
+                    [chunk, np.zeros((B - n,) + chunk.shape[1:], chunk.dtype)])
+            logits, pooled, logp = self._fwd(self._variables,
+                                             self._jnp.asarray(chunk))
+            logits = np.asarray(logits)[:n]
+            pooled = np.asarray(pooled)[:n]
+            logp = np.asarray(logp)[:n]
+            probs = np.exp(logp)
+            order = np.argsort(-logp, axis=-1)
+            for i in range(n):
+                top = [{"class": self.classes[j],
+                        "prob": float(probs[i, j])}
+                       for j in order[i, :topk]]
+                results.append({
+                    "class": top[0]["class"],
+                    "prob": top[0]["prob"],
+                    "topk": top,
+                    # ref pipnet/test.py:66-70 (abstain) and :90-96 (local size)
+                    "abstained": bool(logits[i].max() <= 0.0),
+                    "active_prototypes": int((pooled[i] > 0).sum()),
+                })
+        return results
+
+    def explain(self, image, out_dir: str, topk: int = 3) -> Dict:
+        """Per-image evidence folder (util/visualize_prediction.py)."""
+        from .interp.prediction import explain_image
+        x = self._prep([image])[0]
+        return explain_image(self.bundle.model, self.bundle.tree,
+                             self.bundle.state.params,
+                             self.bundle.state.batch_stats, x, out_dir,
+                             image_size=self.image_size, top_classes=topk)
+
+    # -- serving benchmark ---------------------------------------------------
+    def bench(self, iters: int = 50) -> Dict:
+        """Single-image latency percentiles + batch throughput (warm)."""
+        import jax
+
+        jnp = self._jnp
+        r = np.random.default_rng(0)
+        one = jnp.asarray(r.standard_normal(
+            (1, self.image_size, self.image_size, 3)), jnp.float32)
+        batch = jnp.asarray(r.standard_normal(
+            (self.batch_size, self.image_size, self.image_size, 3)), jnp.float32)
+
+        def fence(out):
+            # scalar fetch: block_until_ready is unreliable over the tunnel
+            float(np.asarray(out[2][0, 0]))
+
+        fence(self._fwd(self._variables, one))          # compile bs=1
+        lat = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fence(self._fwd(self._variables, one))
+            lat.append(time.perf_counter() - t0)
+        fence(self._fwd(self._variables, batch))        # compile bs=B
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = self._fwd(self._variables, batch)
+        fence(out)
+        dt = time.perf_counter() - t0
+        lat_ms = np.array(lat) * 1e3
+        return {
+            "latency_ms_p50": round(float(np.percentile(lat_ms, 50)), 2),
+            "latency_ms_p95": round(float(np.percentile(lat_ms, 95)), 2),
+            "batch_size": self.batch_size,
+            "throughput_img_per_sec": round(iters * self.batch_size / dt, 2),
+        }
+
+
+def run(argv=None) -> int:
+    p = argparse.ArgumentParser("Serve a trained pipnet_tpu run")
+    p.add_argument("--run_dir", required=True)
+    p.add_argument("--checkpoint", default="net_trained_last")
+    p.add_argument("--images", nargs="*", default=[])
+    p.add_argument("--topk", type=int, default=3)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--dataset", default=None,
+                   help="override the stored dataset when resolving class "
+                        "names (unnecessary when metadata/classes.json exists)")
+    p.add_argument("--path_prob_softmax_tau", type=float, default=1.0)
+    p.add_argument("--explain", default=None, metavar="OUT_DIR",
+                   help="write per-image evidence folders here")
+    p.add_argument("--bench", action="store_true",
+                   help="serving latency/throughput JSON line")
+    args = p.parse_args(argv)
+
+    pred = Predictor(args.run_dir, checkpoint=args.checkpoint,
+                     batch_size=args.batch_size, dataset=args.dataset,
+                     path_prob_softmax_tau=args.path_prob_softmax_tau)
+    if args.bench:
+        print(json.dumps({"metric": "serving", **pred.bench()}))
+        return 0
+    if not args.images:
+        p.error("pass --images or --bench")
+    results = pred.predict(args.images, topk=args.topk)
+    for idx, (path, res) in enumerate(zip(args.images, results)):
+        if args.explain:
+            # index prefix: distinct images often share a basename
+            # (class_a/img_000.png vs class_b/img_000.png)
+            out_dir = os.path.join(
+                args.explain,
+                f"{idx:03d}_{os.path.splitext(os.path.basename(path))[0]}")
+            pred.explain(path, out_dir, topk=args.topk)
+            res["explanation_dir"] = out_dir
+        print(json.dumps({"image": path, **res}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run())

@@ -360,6 +360,8 @@ class Trainer:
         if self.state is None:
             self.init_state()
         self.log.save_config(self.cfg)
+        if getattr(self.loaders, "classes", None):
+            self.log.save_classes(self.loaders.classes)
         self.log.create_log("log_epoch_overview", "epoch", "test_top1_acc",
                             "test_top5_acc", "mean_train_acc", "mean_train_loss")
 
