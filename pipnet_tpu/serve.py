@@ -48,7 +48,9 @@ class Predictor:
     def __init__(self, run_dir: str, checkpoint: str = "net_trained_last",
                  batch_size: int = 8, dataset: Optional[str] = None,
                  classes: Optional[List[str]] = None,
-                 path_prob_softmax_tau: float = 1.0):
+                 path_prob_softmax_tau: float = 1.0,
+                 apply_overspecificity_mask: bool = False,
+                 mask_seed: int = 0):
         import jax
         import jax.numpy as jnp
 
@@ -68,11 +70,34 @@ class Predictor:
         self._variables = {"params": self.bundle.state.params}
         if self.bundle.state.batch_stats:
             self._variables["batch_stats"] = self.bundle.state.batch_stats
+        # one fixed Gumbel sample for the whole server lifetime: the pruned
+        # model is a deterministic artifact, not a fresh draw per request
+        # (ref calc_acc_LOU_and_mask_pruned_model.ipynb loads ONE mask)
+        mask_rng = jax.random.PRNGKey(mask_seed)
 
         def fwd(variables, xs):
-            out = model.apply(variables, xs, inference=True)
+            out = model.apply(variables, xs, inference=True,
+                              apply_overspecificity_mask=apply_overspecificity_mask,
+                              mask_rng=mask_rng)
+            degenerate = None
+            if apply_overspecificity_mask:
+                # same derivation as make_eval_step (train/step.py): the
+                # forward's mask sample decides degeneracy, so pooled masking
+                # and the leaf-count-prior fallback (ref util/node.py:336-361)
+                # agree
+                from .models.pipnet import degenerate_nodes_traced
+                from .ops.segment import segment_hard_gumbel
+                keep = segment_hard_gumbel(
+                    variables["params"]["head"]["proto_presence"],
+                    mask_rng, tau=0.5)[:, 1]
+                w_eff = model.apply(
+                    {"params": variables["params"]},
+                    method=lambda m: m.head.effective_cls_weight())
+                degenerate = degenerate_nodes_traced(w_eff * keep[None, :],
+                                                     tree)
             logp = joint_leaf_log_distribution(
-                out["logits"], tree, softmax_tau=path_prob_softmax_tau)
+                out["logits"], tree, softmax_tau=path_prob_softmax_tau,
+                degenerate_nodes=degenerate)
             return out["logits"], out["pooled"], logp
 
         self._fwd = jax.jit(fwd)
@@ -180,6 +205,10 @@ def run(argv=None) -> int:
                    help="override the stored dataset when resolving class "
                         "names (unnecessary when metadata/classes.json exists)")
     p.add_argument("--path_prob_softmax_tau", type=float, default=1.0)
+    p.add_argument("--apply_overspecificity_mask", action="store_true",
+                   help="serve the mask-pruned model (hard-Gumbel presence "
+                        "mask + degenerate-node decode fallback)")
+    p.add_argument("--mask_seed", type=int, default=0)
     p.add_argument("--explain", default=None, metavar="OUT_DIR",
                    help="write per-image evidence folders here")
     p.add_argument("--bench", action="store_true",
@@ -188,7 +217,9 @@ def run(argv=None) -> int:
 
     pred = Predictor(args.run_dir, checkpoint=args.checkpoint,
                      batch_size=args.batch_size, dataset=args.dataset,
-                     path_prob_softmax_tau=args.path_prob_softmax_tau)
+                     path_prob_softmax_tau=args.path_prob_softmax_tau,
+                     apply_overspecificity_mask=args.apply_overspecificity_mask,
+                     mask_seed=args.mask_seed)
     if args.bench:
         print(json.dumps({"metric": "serving", **pred.bench()}))
         return 0

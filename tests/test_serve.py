@@ -153,6 +153,46 @@ class TestPredictor:
         assert os.path.isdir(tmp_path / "ev")
         assert "classes" in out or isinstance(out, dict)
 
+    def test_masked_predict_deterministic(self, serve_run):
+        """--apply_overspecificity_mask serves the pruned model: one fixed
+        Gumbel draw per server (ref calc_acc_LOU_and_mask_pruned_model.ipynb
+        loads ONE mask), so two servers with the same mask_seed agree."""
+        from pipnet_tpu.serve import Predictor
+
+        run_dir, train_dir, classes = serve_run
+        cls0 = sorted(os.listdir(train_dir))[0]
+        img_dir = os.path.join(train_dir, cls0)
+        path = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
+        pa = Predictor(run_dir, batch_size=1,
+                       apply_overspecificity_mask=True, mask_seed=3)
+        pb = Predictor(run_dir, batch_size=1,
+                       apply_overspecificity_mask=True, mask_seed=3)
+        ra, rb = pa.predict([path])[0], pb.predict([path])[0]
+        assert ra["class"] in classes
+        assert ra["class"] == rb["class"]
+        assert ra["prob"] == pytest.approx(rb["prob"], rel=1e-6)
+        assert 0.0 <= ra["prob"] <= 1.0
+
+    def test_cli_json_lines(self, serve_run, capsys):
+        """The CLI prints one parseable JSON line per image."""
+        from pipnet_tpu import serve
+
+        run_dir, train_dir, classes = serve_run
+        cls0 = sorted(os.listdir(train_dir))[0]
+        img_dir = os.path.join(train_dir, cls0)
+        paths = [os.path.join(img_dir, f)
+                 for f in sorted(os.listdir(img_dir))[:2]]
+        rc = serve.run(["--run_dir", run_dir, "--batch_size", "2",
+                        "--images"] + paths)
+        assert rc == 0
+        lines = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("{")]
+        assert len(lines) == 2
+        for line, path in zip(lines, paths):
+            rec = json.loads(line)
+            assert rec["image"] == path
+            assert rec["class"] in classes
+
     def test_batch_padding_matches_unpadded(self, serve_run):
         """Padding rows must not change real rows' outputs."""
         from pipnet_tpu.serve import Predictor
