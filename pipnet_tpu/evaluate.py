@@ -20,6 +20,11 @@ def run(argv=None) -> int:
     p.add_argument("--run_dir", required=True)
     p.add_argument("--checkpoint", default="net_trained_last")
     p.add_argument("--apply_overspecificity_mask", action="store_true")
+    p.add_argument("--fixed_mask_seed", type=int, default=None,
+                   help="with the overspecificity mask: draw ONE presence "
+                        "sample for the whole pass (the deterministic pruned "
+                        "artifact serve.py deploys) instead of the "
+                        "reference's per-batch resampling")
     p.add_argument("--path_prob_softmax_tau", type=float, default=1.0)
     p.add_argument("--leave_out_classes", default=None)
     p.add_argument("--dataset", default=None)
@@ -80,7 +85,8 @@ def run(argv=None) -> int:
     result = trainer.evaluate(
         loaders.test, leave_out_classes=leave_out,
         apply_overspecificity_mask=args.apply_overspecificity_mask,
-        path_prob_softmax_tau=args.path_prob_softmax_tau)
+        path_prob_softmax_tau=args.path_prob_softmax_tau,
+        fixed_mask_seed=args.fixed_mask_seed)
 
     import jax
     import jax.numpy as jnp
@@ -103,8 +109,12 @@ def run(argv=None) -> int:
     def collect(loader):
         scores, pooleds, logitss, ys = [], [], [], []
         rng = jax.random.PRNGKey(0)
+        fixed = (jax.random.PRNGKey(args.fixed_mask_seed)
+                 if args.fixed_mask_seed is not None else None)
         for batch in loader.epoch(0):
             rng, sub = jax.random.split(rng)
+            if fixed is not None:
+                sub = fixed
             out = step(trainer.state.params, trainer.state.batch_stats,
                        jnp.asarray(batch.xs1), jnp.asarray(batch.ys), sub)
             scores.append(np.exp(np.asarray(out["log_joint"], np.float64)))

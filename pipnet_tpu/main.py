@@ -132,8 +132,13 @@ def run_pipnet(argv=None) -> int:
     # this jax build ships an 'axon' TPU plugin that takes precedence over the
     # JAX_PLATFORMS env var; if virtual CPU devices were requested (the
     # multi-chip smoke path of the verify skill / dryrun_multichip), make them
-    # actually materialize before the backend initializes
-    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    # actually materialize before the backend initializes.  Both signals are
+    # required: xla_force_host_platform_device_count alone is a common
+    # debugging leftover, and forcing CPU on it would silently demote a real
+    # accelerator run
+    if ("xla_force_host_platform_device_count"
+            in os.environ.get("XLA_FLAGS", "")
+            and os.environ.get("JAX_PLATFORMS", "") == "cpu"):
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
@@ -220,6 +225,7 @@ def run_pipnet(argv=None) -> int:
         root = flat_tree(loaders.classes, cfg.model.num_features or 512)
     print(f"tree: {len(root.nodes_with_children())} internal nodes, "
           f"{len(root.leaves())} leaves")
+    log.save_tree(root)
     try:
         root.save_visualization(os.path.join(cfg.log_dir, "tree"))
     except Exception as e:                      # viz is best-effort

@@ -217,6 +217,21 @@ def degenerate_nodes_traced(masked_w: jnp.ndarray, tree: TreeArrays) -> jnp.ndar
                                num_segments=tree.num_nodes) > 0
 
 
+def masked_decode_degenerates(model, params, tree: TreeArrays,
+                              mask_rng) -> jnp.ndarray:
+    """Degenerate-node verdict for a masked decode, from the SAME hard-Gumbel
+    presence sample the head's forward draws with ``mask_rng`` — so pooled
+    masking and the leaf-count-prior fallback (ref util/node.py:336-361)
+    agree.  Shared by ``train.step.make_eval_step`` and ``serve.Predictor``;
+    the tau=0.5 here must match the head's (``ops/segment.py``)."""
+    from ..ops.segment import segment_hard_gumbel
+    keep = segment_hard_gumbel(params["head"]["proto_presence"],
+                               mask_rng, tau=0.5)[:, 1]
+    w_eff = model.apply({"params": params},
+                        method=lambda m: m.head.effective_cls_weight())
+    return degenerate_nodes_traced(w_eff * keep[None, :], tree)
+
+
 def joint_leaf_log_distribution(logits: jnp.ndarray, tree: TreeArrays,
                                 softmax_tau: float = 1.0,
                                 degenerate_nodes=None,

@@ -86,20 +86,49 @@ def load_run(run_dir: str, checkpoint: str = "net_trained_last",
     from .train.checkpoint import restore_checkpoint
     from .train.step import init_train_state
     from .tree import build_tree_from_config, flat_tree
+    from .tree.node import Node
 
     cfg = load_run_config(run_dir)
     classes = classes or load_classes(run_dir)
-    if classes is None or (phylo_path is None and cfg.phylo_config is None):
+    tree_json = os.path.join(run_dir, "metadata", "tree.json")
+    have_tree_source = os.path.exists(tree_json) or phylo_path is not None
+
+    # resolve the training dataset only when something is still missing —
+    # class names, or (for runs predating metadata/tree.json) a bundled
+    # phylogeny that was never recorded in the config
+    if classes is None or (not have_tree_source and cfg.phylo_config is None):
         ds = dataset or cfg.dataset
-        train_dir, _test, _proj, dkw = resolve_dataset(ds, seed=cfg.train.seed)
+        try:
+            train_dir, _test, _proj, dkw = resolve_dataset(ds,
+                                                           seed=cfg.train.seed)
+        except Exception as e:
+            missing = "class names" if classes is None else "the hierarchy"
+            raise RuntimeError(
+                f"cannot rebuild run {run_dir!r}: {missing} must come from "
+                f"the training dataset ({ds!r}), which failed to resolve on "
+                f"this host ({e}).  Pass dataset=/classes= explicitly, or "
+                f"re-save the run with a version that writes "
+                f"metadata/classes.json and metadata/tree.json") from e
         if classes is None:
             classes = sorted(e.name for e in os.scandir(train_dir)
                              if e.is_dir())
         phylo_path = phylo_path or dkw.get("phylo_path")
 
-    if phylo_path and str(phylo_path).endswith((".phy", ".tre")):
+    if os.path.exists(tree_json):
+        # the exact trained topology, persisted by RunLog.save_tree —
+        # authoritative over any phylogeny re-derivation
+        with open(tree_json) as f:
+            root = Node.from_dict(json.load(f))
+    elif phylo_path and str(phylo_path).endswith((".phy", ".tre")):
         root = build_tree_from_config(phylo_path, None)
-    elif cfg.phylo_config and os.path.exists(str(cfg.phylo_config)):
+    elif cfg.phylo_config:
+        if not os.path.exists(str(cfg.phylo_config)):
+            raise RuntimeError(
+                f"run {run_dir!r} records phylogeny "
+                f"{cfg.phylo_config!r}, which does not exist on this host; "
+                f"refusing to fall back to a flat tree (the checkpoint "
+                f"shapes would not match).  Restore that file, or pass "
+                f"phylo_path=")
         if str(cfg.phylo_config).endswith((".phy", ".tre")):
             root = build_tree_from_config(cfg.phylo_config, None)
         else:

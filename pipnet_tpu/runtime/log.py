@@ -57,6 +57,15 @@ class RunLog:
         with open(path, "w") as f:
             json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
 
+    def save_tree(self, root) -> None:
+        """Persist the class hierarchy itself (``metadata/tree.json``) so
+        evaluate/serve rebuild the exact trained topology without the
+        phylogeny file or dataset being present (run_io.load_run prefers
+        this over re-deriving the tree)."""
+        path = os.path.join(self.metadata_dir, "tree.json")
+        with open(path, "w") as f:
+            json.dump(root.to_dict(), f)
+
     def save_classes(self, classes) -> None:
         """Persist the class-name order so evaluate/serve (run_io.load_run)
         can rebuild the model without the training dataset on disk."""

@@ -81,20 +81,11 @@ class Predictor:
                               mask_rng=mask_rng)
             degenerate = None
             if apply_overspecificity_mask:
-                # same derivation as make_eval_step (train/step.py): the
-                # forward's mask sample decides degeneracy, so pooled masking
-                # and the leaf-count-prior fallback (ref util/node.py:336-361)
-                # agree
-                from .models.pipnet import degenerate_nodes_traced
-                from .ops.segment import segment_hard_gumbel
-                keep = segment_hard_gumbel(
-                    variables["params"]["head"]["proto_presence"],
-                    mask_rng, tau=0.5)[:, 1]
-                w_eff = model.apply(
-                    {"params": variables["params"]},
-                    method=lambda m: m.head.effective_cls_weight())
-                degenerate = degenerate_nodes_traced(w_eff * keep[None, :],
-                                                     tree)
+                # same derivation as make_eval_step: the forward's mask
+                # sample decides degeneracy (models/pipnet.py helper)
+                from .models.pipnet import masked_decode_degenerates
+                degenerate = masked_decode_degenerates(
+                    model, variables["params"], tree, mask_rng)
             logp = joint_leaf_log_distribution(
                 out["logits"], tree, softmax_tau=path_prob_softmax_tau,
                 degenerate_nodes=degenerate)

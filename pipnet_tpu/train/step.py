@@ -348,14 +348,10 @@ def make_eval_step(model: PIPNet, tree: TreeArrays, *,
         logits = out["logits"][:B]
         degenerate = None
         if apply_overspecificity_mask:
-            from ..models.pipnet import degenerate_nodes_traced
-            from ..ops.segment import segment_hard_gumbel
+            from ..models.pipnet import masked_decode_degenerates
             # identical sample to the head's (same rng, same logits)
-            keep = segment_hard_gumbel(params["head"]["proto_presence"],
-                                       mask_rng, tau=0.5)[:, 1]
-            w_eff = model.apply({"params": params},
-                                method=lambda m: m.head.effective_cls_weight())
-            degenerate = degenerate_nodes_traced(w_eff * keep[None, :], tree)
+            degenerate = masked_decode_degenerates(model, params, tree,
+                                                   mask_rng)
         logp = joint_leaf_log_distribution(logits, tree,
                                            softmax_tau=path_prob_softmax_tau,
                                            degenerate_nodes=degenerate,

@@ -58,27 +58,49 @@ def _put_prefetch(gen, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def offer(item) -> bool:
+        """Bounded put that gives up when the consumer abandoned the epoch
+        (a failed step / early break) — otherwise the worker would block on
+        the full queue forever, pinning depth+1 device batches per epoch."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for put, puttables, aux in gen:
-                q.put((tuple(put(x) if x is not None else None
-                             for x in puttables), aux))
+                if not offer((tuple(put(x) if x is not None else None
+                                    for x in puttables), aux)):
+                    return
         except BaseException as e:   # forwarded, re-raised on the main thread
-            q.put(e)
+            offer(e)
             return
-        q.put(_END)
+        offer(_END)
 
     t = threading.Thread(target=worker, daemon=True,
                          name="pipnet-put-prefetch")
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:        # drain so a worker mid-offer unblocks immediately
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def _ood_chunks(ood_loader: Loader, start_epoch: int, size: int):
@@ -132,6 +154,11 @@ class Trainer:
             import jax as _jax
             dp = (cfg.train.data_parallel
                   or len(_jax.devices()) // mp)
+            if dp < 1:
+                raise ValueError(
+                    f"model_parallel={mp} needs at least {mp} devices "
+                    f"(found {len(_jax.devices())}), or set data_parallel "
+                    f"explicitly")
             self.mesh = dp_mp_mesh(dp, mp)
         else:
             self.mesh = data_mesh(None if cfg.train.data_parallel == 0
@@ -210,7 +237,11 @@ class Trainer:
         t_start = time.time()
         n_images = 0
 
-        n_shards = int(np.prod(list(self.mesh.shape.values()))) or 1
+        # batches shard along the 'data' axis only (batch_sharding uses
+        # P("data")), so divisibility is by the data-axis size — NOT the
+        # total mesh size: under model_parallel the model axis replicates
+        # the batch and must not force extra row trimming
+        n_shards = int(dict(self.mesh.shape).get("data", 1)) or 1
         ood_iter = None
         if ood_loader is not None:
             # fixed-size OOD chunks from a cycling stream: the jitted step sees
@@ -312,9 +343,15 @@ class Trainer:
                 t_mark = t_now
 
         if timing:
+            # serial path: host_gen runs inline inside the consumer's next(),
+            # so the raw qwait interval CONTAINS wait+put — subtract them so
+            # the printed columns attribute each millisecond exactly once
+            qw = times["qwait"]
+            if os.environ.get("PIPNET_PUT_PREFETCH") != "1":
+                qw = max(0.0, qw - times["wait"] - times["put"])
             print(f"[epoch-timing] steps={n_steps} "
                   f"wait={times['wait']*1e3:.0f}ms put={times['put']*1e3:.0f}ms "
-                  f"qwait={times['qwait']*1e3:.0f}ms "
+                  f"qwait={qw*1e3:.0f}ms "
                   f"dispatch={times['disp']*1e3:.0f}ms", flush=True)
         if acc is not None:
             metrics = jax.device_get(acc)
@@ -444,13 +481,20 @@ class Trainer:
     # -- eval ----------------------------------------------------------------
     def evaluate(self, loader: Loader, *, leave_out_classes=None,
                  apply_overspecificity_mask: bool = False,
-                 path_prob_softmax_tau: float = 1.0) -> Dict[str, float]:
+                 path_prob_softmax_tau: float = 1.0,
+                 fixed_mask_seed: Optional[int] = None) -> Dict[str, float]:
         """Test pass (ref test_pipnet, pipnet/train.py:525-849): duplicated
         views, inference thresholding, joint-distribution top-1/top-5.
 
         With ``leave_out_classes``, the decode applies the reference's LOU
         short-circuit (util/node.py:319-326) and accuracy is measured on the
-        left-out rows only (calc_acc_LOU.ipynb semantics)."""
+        left-out rows only (calc_acc_LOU.ipynb semantics).
+
+        ``fixed_mask_seed``: with the overspecificity mask, draw ONE Gumbel
+        presence sample for the whole pass instead of one per batch — this
+        measures the deterministic pruned artifact ``serve.Predictor``
+        deploys.  Default (None) keeps the reference's per-batch resampling
+        (its GumbelSoftmax draws fresh noise every forward)."""
         leave_out_idx = None
         if leave_out_classes:
             leave_out_idx = np.asarray(
@@ -483,8 +527,12 @@ class Trainer:
 
         acc = (np.int32(0), np.int32(0), np.int32(0))
         # pre-split host-side: per-batch jax.random.split was a device op
-        subs = np.asarray(jax.random.split(jax.random.PRNGKey(0),
-                                           max(len(loader), 1)))
+        if fixed_mask_seed is not None:
+            one = np.asarray(jax.random.PRNGKey(fixed_mask_seed))
+            subs = np.broadcast_to(one, (max(len(loader), 1),) + one.shape)
+        else:
+            subs = np.asarray(jax.random.split(jax.random.PRNGKey(0),
+                                               max(len(loader), 1)))
         for i, batch in enumerate(loader.epoch(0)):
             acc = count_batch(self.state.params, self.state.batch_stats,
                               jnp.asarray(batch.xs1), jnp.asarray(batch.ys),

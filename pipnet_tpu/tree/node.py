@@ -79,6 +79,27 @@ class Node:
     def children_names(self) -> List[str]:
         return [c.name for c in self.children]
 
+    # -- persistence -------------------------------------------------------
+    def to_dict(self) -> dict:
+        """JSON-serializable structure: names, child order, and child labels.
+        Prototype budgets / weights are re-derived from the config at rebuild
+        (``build_pipnet``), so only the topology is persisted."""
+        return {"name": self.name, "label": self.label,
+                "children": [c.to_dict() for c in self.children]}
+
+    @classmethod
+    def from_dict(cls, d: dict, parent: Optional["Node"] = None) -> "Node":
+        node = cls(d["name"], parent=parent, label=d.get("label"))
+        for cd in d.get("children", []):
+            child = cls.from_dict(cd, parent=node)
+            node.children.append(child)
+            node.children_to_labels[child.name] = child.label
+        if parent is None:
+            # budget assignment (set_num_protos) reads the descendant sets,
+            # so the root rebuild must restore them like build.py:117 does
+            node.assign_all_descendents()
+        return node
+
     def num_children(self) -> int:
         return len(self.children)
 

@@ -79,6 +79,7 @@ def serve_run(tmp_path_factory):
     trainer.init_state(48)
     trainer.log.save_config(cfg)
     trainer.log.save_classes(loaders.classes)
+    trainer.log.save_tree(tree_root)
     save_checkpoint(trainer.log.checkpoint_dir, "net_trained_last",
                     trainer.state, epoch=1)
     return run_dir, train_dir, loaders.classes
@@ -87,21 +88,24 @@ def serve_run(tmp_path_factory):
 @pytest.mark.slow
 class TestRunIO:
     def test_load_run_without_dataset(self, serve_run, tmp_path):
-        """classes.json + the saved phylogeny path are enough: the training
-        dataset can be gone (the serving-host scenario; the reference's
-        notebooks instead re-walk the ImageFolder)."""
+        """metadata (classes.json + tree.json) is enough: the training
+        dataset AND the phylogeny file can both be gone (the serving-host
+        scenario; the reference's notebooks instead re-walk the
+        ImageFolder)."""
         from pipnet_tpu.run_io import load_run
 
         run_dir, _train, classes = serve_run
-        # point the stored dataset somewhere nonexistent: must not be touched
+        # point the stored dataset AND phylogeny somewhere nonexistent:
+        # neither may be touched when tree.json is present
         with open(os.path.join(run_dir, "metadata", "config.json")) as f:
             saved = json.load(f)
         saved["dataset"] = "folder:/nonexistent/train:/nonexistent/test"
+        saved["phylo_config"] = "/nonexistent/phylogeny.phy"
         broken = tmp_path / "relocated"
         (broken / "metadata").mkdir(parents=True)
         with open(broken / "metadata" / "config.json", "w") as f:
             json.dump(saved, f)
-        for name in ("classes.json",):
+        for name in ("classes.json", "tree.json"):
             with open(os.path.join(run_dir, "metadata", name)) as f:
                 data = f.read()
             with open(broken / "metadata" / name, "w") as f:
@@ -112,6 +116,33 @@ class TestRunIO:
         assert bundle.classes == list(classes)
         assert bundle.extra["epoch"] == 1
         assert bundle.tree.num_classes == len(classes)
+        # and the restored head actually matches the persisted topology
+        w = np.asarray(bundle.state.params["head"]["cls_weight"])
+        assert np.isfinite(w).all()
+
+    def test_load_run_missing_phylo_raises(self, serve_run, tmp_path):
+        """Without tree.json, a recorded-but-missing phylogeny must raise a
+        clear error, never silently rebuild a flat tree with mismatched
+        checkpoint shapes."""
+        from pipnet_tpu.run_io import load_run
+
+        run_dir, _train, _classes = serve_run
+        with open(os.path.join(run_dir, "metadata", "config.json")) as f:
+            saved = json.load(f)
+        saved["dataset"] = "folder:/nonexistent/train:/nonexistent/test"
+        saved["phylo_config"] = "/nonexistent/phylogeny.phy"
+        broken = tmp_path / "nophylo"
+        (broken / "metadata").mkdir(parents=True)
+        with open(broken / "metadata" / "config.json", "w") as f:
+            json.dump(saved, f)
+        with open(os.path.join(run_dir, "metadata", "classes.json")) as f:
+            data = f.read()
+        with open(broken / "metadata" / "classes.json", "w") as f:
+            f.write(data)
+        os.symlink(os.path.join(run_dir, "checkpoints"),
+                   broken / "checkpoints")
+        with pytest.raises(RuntimeError, match="phylogeny"):
+            load_run(str(broken))
 
     def test_load_run_restores_weights(self, serve_run):
         from pipnet_tpu.run_io import load_run

@@ -62,6 +62,36 @@ def test_add_children_sorts_and_labels():
     assert n.children_to_labels["aa"] == 3
 
 
+def test_node_dict_roundtrip(tiny_root):
+    """to_dict/from_dict preserve topology, child order, and labels — the
+    contract RunLog.save_tree / run_io.load_run rely on to rebuild the exact
+    trained tree without the phylogeny file."""
+    d = tiny_root.to_dict()
+    back = Node.from_dict(d)
+    for orig, new in zip([tiny_root] + [tiny_root.get_node(n.name)
+                                        for n in tiny_root.nodes_with_children()],
+                         [back] + [back.get_node(n.name)
+                                   for n in back.nodes_with_children()]):
+        assert orig.name == new.name
+        assert orig.children_names() == new.children_names()
+        assert orig.children_to_labels == new.children_to_labels
+    assert [l.name for l in back.leaves()] == [l.name
+                                               for l in tiny_root.leaves()]
+    # compiled arrays agree after re-budgeting
+    for node in tiny_root.nodes_with_children():
+        node.set_num_protos(num_protos_per_descendant=2,
+                            num_protos_per_child=0, min_protos=0,
+                            split_protos=True)
+    for node in back.nodes_with_children():
+        node.set_num_protos(num_protos_per_descendant=2,
+                            num_protos_per_child=0, min_protos=0,
+                            split_protos=True)
+    ta, tb = compile_tree(tiny_root), compile_tree(back)
+    assert ta.class_names == tb.class_names
+    np.testing.assert_array_equal(ta.leaf_child_col, tb.leaf_child_col)
+    np.testing.assert_array_equal(ta.node_num_protos, tb.node_num_protos)
+
+
 def test_split_value():
     assert split_value(10, 3) == [4, 3, 3]
     assert split_value(9, 3) == [3, 3, 3]
