@@ -122,6 +122,10 @@ class TrainConfig:
     # the head params (and their optimizer state) over a second mesh axis —
     # the scaling axis for very large phylogenies (runtime/mesh.py).  1 = off.
     model_parallel: int = 1
+    # ZeRO-1: shard the Adam moments over the data axis (params/grads stay
+    # replicated; one extra all-gather per step for a dp-fold cut in
+    # optimizer-state HBM — runtime/mesh.py:_zero1_spec).  Off by default.
+    zero1: bool = False
     # device-side transform2 (ops/device_augment): the CARS recipe uses the
     # Solarize/Color space (TrivialAugmentWideNoShapeWithColor)
     device_augment_cars: bool = False

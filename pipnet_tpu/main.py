@@ -102,6 +102,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     add("--data_parallel", type=int, default=0,
         help="data-parallel shards: 0 = all visible devices")
+    add("--zero1", type=str, default="n",
+        help="y: shard the Adam moments over the data axis (ZeRO-1; a "
+             "dp-fold cut in optimizer-state HBM for one extra all-gather)")
     add("--model_parallel", type=int, default=1,
         help="shard the stacked prototype axis of the head over this many "
              "devices (2-D data x model mesh; for very large phylogenies — "
@@ -160,7 +163,8 @@ def run_pipnet(argv=None) -> int:
                                   use_pallas_head=args.use_pallas_head == "y",
                                   use_pallas_backbone=args.use_pallas_backbone == "y"),
         train=dataclasses.replace(cfg.train, data_parallel=args.data_parallel,
-                                  model_parallel=args.model_parallel))
+                                  model_parallel=args.model_parallel,
+                                  zero1=args.zero1 == "y"))
     device_augment = args.device_augment in ("y", "full")
     device_geometric = args.device_augment == "full"
 

@@ -174,13 +174,19 @@ class Trainer:
         sample = jnp.zeros((2, size, size, 3), jnp.float32)
         rng = jax.random.PRNGKey(self.cfg.train.seed)
         self.state = init_train_state(self.model, rng, sample)
-        if "model" in self.mesh.axis_names:
+        if "model" in self.mesh.axis_names or self._zero1_active():
             # place explicitly: head params (+ optimizer mirrors) sharded on
-            # the prototype axis, everything else replicated — GSPMD
-            # propagates from here through the jitted step
+            # the prototype axis, Adam moments ZeRO-1-sharded over data when
+            # enabled, everything else replicated — GSPMD propagates from
+            # here through the jitted step
             self.state = jax.device_put(
-                self.state, state_shardings(self.mesh, self.state))
+                self.state, state_shardings(self.mesh, self.state,
+                                            zero1=self.cfg.train.zero1))
         return self.state
+
+    def _zero1_active(self) -> bool:
+        return (self.cfg.train.zero1
+                and int(dict(self.mesh.shape).get("data", 1)) > 1)
 
     def _get_step(self, statics: StepStatics):
         key = (statics.phase, statics.mask_prune_active, statics.has_ood,
@@ -188,7 +194,17 @@ class Trainer:
         if key not in self._step_cache:
             fn = make_train_step(self.model, self.tree, self.cfg, statics)
             # donate the state AND the metric accumulator (both round-trip)
-            self._step_cache[key] = (jax.jit(fn, donate_argnums=(0, 5)), fn)
+            kw = {}
+            if self._zero1_active():
+                # pin the output state to the ZeRO-1 layout: without this,
+                # GSPMD may resolve `params - step` to a data-sharded param
+                # output (layout drift across steps); metrics stay replicated
+                kw["out_shardings"] = (
+                    state_shardings(self.mesh, self.state,
+                                    zero1=self.cfg.train.zero1),
+                    replicated_sharding(self.mesh))
+            self._step_cache[key] = (jax.jit(fn, donate_argnums=(0, 5), **kw),
+                                     fn)
         return self._step_cache[key]
 
     # -- epochs --------------------------------------------------------------

@@ -127,6 +127,100 @@ class TestModelParallelDeterminism:
         assert jnp.isfinite(np.asarray(pooled)).all()
 
 
+class TestZero1:
+    def test_zero1_specs(self, tiny_root):
+        """ZeRO-1 shards the Adam moments over data (largest divisible dim)
+        while params/grads stay replicated; scalar counts replicated."""
+        model, tree, cfg = _setup(tiny_root)
+        mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("data",))
+        state = init_train_state(model, jax.random.PRNGKey(0),
+                                 jnp.zeros((2, 48, 48, 3)))
+        sh = state_shardings(mesh, state, zero1=True)
+        assert all(s.spec == P() for s in jax.tree_util.tree_leaves(
+            sh.params, is_leaf=lambda x: isinstance(x, NamedSharding)))
+        assert all(s.spec == P() for s in jax.tree_util.tree_leaves(
+            sh.opt.count, is_leaf=lambda x: isinstance(x, NamedSharding)))
+        mu_specs = jax.tree_util.tree_leaves(
+            sh.opt.mu, is_leaf=lambda x: isinstance(x, NamedSharding))
+        mu_leaves = jax.tree_util.tree_leaves(state.opt.mu)
+        sharded_bytes = sum(l.size * l.dtype.itemsize
+                            for l, s in zip(mu_leaves, mu_specs)
+                            if s.spec != P())
+        total_bytes = sum(l.size * l.dtype.itemsize for l in mu_leaves)
+        # the bulk of the moments (dense kernels) must actually shard
+        assert sharded_bytes / total_bytes > 0.5
+        for l, s in zip(mu_leaves, mu_specs):
+            if s.spec != P():
+                (d,) = [i for i, ax in enumerate(s.spec) if ax == "data"]
+                assert l.shape[d] % 8 == 0
+
+    def test_zero1_matches_replicated(self, tiny_root):
+        """One train step with ZeRO-1-sharded moments reproduces the
+        replicated run bit-for-bit up to GSPMD reduction order."""
+        model, tree, cfg = _setup(tiny_root)
+        phase = phase_for_epoch(12, cfg.train, pretrain=False)
+        step = make_train_step(model, tree, cfg,
+                               StepStatics(phase=phase, eta_min_net=5e-6))
+        rng = np.random.default_rng(3)
+        xs1 = rng.standard_normal((8, 48, 48, 3)).astype(np.float32)
+        xs2 = rng.standard_normal((8, 48, 48, 3)).astype(np.float32)
+        ys = rng.integers(0, tree.num_classes, 8)
+        sc = Scalars.make(net_t=0, net_T=10, epoch_frac=0,
+                          align_pf_weight=5.0, tanh_weight=2.0)
+        results = {}
+        for name, mesh, z in (
+                ("rep", Mesh(np.asarray(jax.devices()[:1]), ("data",)), False),
+                ("z1", Mesh(np.asarray(jax.devices()[:8]), ("data",)), True)):
+            state = init_train_state(model, jax.random.PRNGKey(0),
+                                     jnp.zeros((2, 48, 48, 3)))
+            state = jax.device_put(state,
+                                   state_shardings(mesh, state, zero1=z))
+            bsh = NamedSharding(mesh, P("data"))
+            new_state, m = jax.jit(step)(
+                state, jax.device_put(xs1, bsh), jax.device_put(xs2, bsh),
+                jax.device_put(ys, bsh), sc)
+            results[name] = (
+                float(np.asarray(m["loss"])),
+                np.asarray(new_state.params["head"]["add_on_kernel"]),
+                np.asarray(jax.tree_util.tree_leaves(
+                    new_state.opt.mu["head"])[0]))
+        assert results["rep"][0] == pytest.approx(results["z1"][0], rel=2e-5)
+        for a, b in zip(results["rep"][1:], results["z1"][1:]):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+    def test_trainer_zero1_epoch(self, tiny_root, tmp_path):
+        """Trainer end-to-end with --zero1: moments stay in the ZeRO-1
+        layout across steps (out_shardings pins it) and params replicated."""
+        from pipnet_tpu.data.loader import build_loaders
+        from pipnet_tpu.data.synthetic import generate_synthetic_dataset
+        from pipnet_tpu.train.trainer import Trainer
+
+        train_dir, test_dir, _ = generate_synthetic_dataset(
+            str(tmp_path), num_classes=8, images_per_class=4, image_size=48)
+        model, tree, cfg = _setup(tiny_root)
+        cfg = dataclasses.replace(
+            cfg, log_dir=str(tmp_path / "run"),
+            train=dataclasses.replace(cfg.train, epochs=1, epochs_pretrain=0,
+                                      epochs_finetune=0,
+                                      epochs_finetune_classifier=0,
+                                      batch_size=8, data_parallel=8,
+                                      zero1=True))
+        loaders = build_loaders(train_dir, test_dir, image_size=48,
+                                batch_size=8, batch_size_pretrain=8, seed=0)
+        trainer = Trainer(model, tree, cfg, loaders)
+        trainer.init_state()
+        mu0 = jax.tree_util.tree_leaves(trainer.state.opt.mu)
+        assert any(l.sharding.spec != P() for l in mu0 if l.ndim)
+        info = trainer.run_epoch(1, pretrain=False, net_t0=0, net_T=10,
+                                 loader=loaders.train)
+        assert np.isfinite(info["loss"])
+        mu1 = [l for l in jax.tree_util.tree_leaves(trainer.state.opt.mu)
+               if l.ndim]
+        assert any(l.sharding.spec != P() for l in mu1)
+        assert all(l.sharding.spec == P() for l in
+                   jax.tree_util.tree_leaves(trainer.state.params))
+
+
 class TestTrainerModelParallel:
     def test_trainer_builds_2d_mesh_and_steps(self, tiny_root, tmp_path):
         from pipnet_tpu.data.loader import build_loaders
