@@ -185,6 +185,75 @@ class Predictor:
         }
 
 
+def serve_http(pred: "Predictor", port: int = 8000, host: str = "127.0.0.1"):
+    """Build (not start) a threading HTTP server around a Predictor.
+
+    Routes:
+      GET  /healthz            -> {"ok": true, "classes": N, ...}
+      POST /predict?topk=K     -> body = raw image bytes (any PIL format);
+                                  one result object
+      POST /predict_batch      -> body = JSON {"paths": [...], "topk": K};
+                                  list of result objects (server-local paths)
+
+    Returns the ``ThreadingHTTPServer``; call ``serve_forever()`` (the CLI
+    does) or drive it from a thread in tests.  Device work is serialized
+    with a lock — one chip, one compiled program; concurrency buys nothing
+    and interleaved jit dispatch over the tunnel measurably loses."""
+    import io
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from PIL import Image
+
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):        # quiet; the caller owns logging
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                self._json(200, {"ok": True,
+                                 "classes": len(pred.classes),
+                                 "image_size": pred.image_size,
+                                 "batch_size": pred.batch_size})
+            else:
+                self._json(404, {"error": "unknown route"})
+
+        def do_POST(self):
+            route = urlparse(self.path).path
+            q = parse_qs(urlparse(self.path).query)
+            topk = int(q.get("topk", ["3"])[0])
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            try:
+                if route == "/predict":
+                    img = Image.open(io.BytesIO(body)).convert("RGB")
+                    with lock:
+                        self._json(200, pred.predict([img], topk=topk)[0])
+                elif route == "/predict_batch":
+                    req = json.loads(body)
+                    with lock:
+                        results = pred.predict(req["paths"],
+                                               topk=req.get("topk", topk))
+                    self._json(200, results)
+                else:
+                    self._json(404, {"error": "unknown route"})
+            except Exception as e:      # surfaces bad images/paths as 400s
+                self._json(400, {"error": str(e)})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
 def run(argv=None) -> int:
     p = argparse.ArgumentParser("Serve a trained pipnet_tpu run")
     p.add_argument("--run_dir", required=True)
@@ -204,6 +273,10 @@ def run(argv=None) -> int:
                    help="write per-image evidence folders here")
     p.add_argument("--bench", action="store_true",
                    help="serving latency/throughput JSON line")
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="serve over HTTP instead of the one-shot CLI "
+                        "(GET /healthz, POST /predict, POST /predict_batch)")
+    p.add_argument("--http_host", default="127.0.0.1")
     args = p.parse_args(argv)
 
     pred = Predictor(args.run_dir, checkpoint=args.checkpoint,
@@ -214,8 +287,20 @@ def run(argv=None) -> int:
     if args.bench:
         print(json.dumps({"metric": "serving", **pred.bench()}))
         return 0
+    if args.http is not None:
+        srv = serve_http(pred, port=args.http, host=args.http_host)
+        print(f"serving on http://{args.http_host}:{srv.server_address[1]} "
+              f"(GET /healthz, POST /predict, POST /predict_batch)",
+              flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.server_close()
+        return 0
     if not args.images:
-        p.error("pass --images or --bench")
+        p.error("pass --images, --bench, or --http")
     results = pred.predict(args.images, topk=args.topk)
     for idx, (path, res) in enumerate(zip(args.images, results)):
         if args.explain:

@@ -224,6 +224,62 @@ class TestPredictor:
             assert rec["image"] == path
             assert rec["class"] in classes
 
+    def test_http_server(self, serve_run):
+        """GET /healthz, POST /predict (raw bytes), POST /predict_batch
+        (JSON paths), and error paths over a real loopback socket."""
+        import io
+        import threading
+        import urllib.error
+        import urllib.request
+
+        from PIL import Image
+
+        from pipnet_tpu.serve import Predictor, serve_http
+
+        run_dir, train_dir, classes = serve_run
+        cls0 = sorted(os.listdir(train_dir))[0]
+        img_dir = os.path.join(train_dir, cls0)
+        paths = [os.path.join(img_dir, f)
+                 for f in sorted(os.listdir(img_dir))[:2]]
+        pred = Predictor(run_dir, batch_size=2)
+        srv = serve_http(pred, port=0)          # ephemeral port
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        try:
+            with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+                health = json.loads(r.read())
+            assert health["ok"] and health["classes"] == len(classes)
+
+            buf = io.BytesIO()
+            Image.open(paths[0]).save(buf, format="PNG")
+            req = urllib.request.Request(f"{base}/predict?topk=2",
+                                         data=buf.getvalue(), method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                one = json.loads(r.read())
+            assert one["class"] in classes and len(one["topk"]) == 2
+
+            body = json.dumps({"paths": paths, "topk": 1}).encode()
+            req = urllib.request.Request(f"{base}/predict_batch", data=body,
+                                         method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                many = json.loads(r.read())
+            assert len(many) == 2
+            assert many[0]["class"] in classes
+
+            # bad image bytes -> 400, unknown route -> 404
+            req = urllib.request.Request(f"{base}/predict", data=b"not-an-img",
+                                         method="POST")
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 400
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(f"{base}/nope", timeout=30)
+            assert ei.value.code == 404
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
     def test_batch_padding_matches_unpadded(self, serve_run):
         """Padding rows must not change real rows' outputs."""
         from pipnet_tpu.serve import Predictor
