@@ -125,6 +125,93 @@ def test_reference_pipnet_head_import_parity(tiny_root, rng):
         np.testing.assert_allclose(np.asarray(logits[:, cs]), logits_n, rtol=1e-4, atol=1e-5)
 
 
+class TestTorchExportRoundtrip:
+    """export_reference_pipnet is the exact inverse of
+    convert_reference_pipnet: a full model's params survive
+    export -> torch.save/load -> import bit-for-bit."""
+
+    def test_convnext_pipnet_roundtrip(self, tiny_root, tmp_path):
+        from pipnet_tpu.models.torch_export import (export_reference_pipnet,
+                                                    save_torch)
+        from pipnet_tpu.models.torch_import import load_torch_state_dict
+
+        for node in tiny_root.nodes_with_children():
+            node.set_num_protos(num_protos_per_descendant=0,
+                                num_protos_per_child=3, min_protos=0,
+                                split_protos=True)
+        mcfg = ModelConfig(backbone="convnext_tiny_26", image_size=48,
+                           num_protos_per_child=3,
+                           head=HeadConfig(softmax_tau=1.0, protopool=False))
+        model, tree = build_pipnet(tiny_root, mcfg)
+        params = model.init(jax.random.PRNGKey(3),
+                            jnp.zeros((1, 48, 48, 3)))["params"]
+        params = jax.tree.map(np.asarray, params)
+
+        sd = export_reference_pipnet(params, {}, tree, "convnext_tiny_26")
+        path = str(tmp_path / "net.pth")
+        save_torch(sd, path)
+        loaded = load_torch_state_dict(path)
+        back, stats = convert_reference_pipnet(loaded, tree,
+                                               "convnext_tiny_26")
+        assert stats == {}
+        # backbone: bit-exact everywhere
+        flat_o = {jax.tree_util.keystr(p): v for p, v in
+                  jax.tree_util.tree_flatten_with_path(params["backbone"])[0]}
+        flat_b = {jax.tree_util.keystr(p): v for p, v in
+                  jax.tree_util.tree_flatten_with_path(back["backbone"])[0]}
+        assert set(flat_o) == set(flat_b)
+        for k in flat_o:
+            np.testing.assert_array_equal(np.asarray(flat_o[k]),
+                                          np.asarray(flat_b[k]), err_msg=k)
+        # head: bit-exact on VALID prototype slots (padding columns carry
+        # arbitrary init values here and zeros after import — both dead:
+        # every head op masks them)
+        valid = np.asarray(tree.proto_valid)
+        ho, hb = params["head"], back["head"]
+        np.testing.assert_array_equal(
+            np.asarray(ho["add_on_kernel"])[:, valid],
+            np.asarray(hb["add_on_kernel"])[:, valid])
+        np.testing.assert_array_equal(
+            np.asarray(ho["proto_presence"])[valid],
+            np.asarray(hb["proto_presence"])[valid])
+        cmask = np.asarray(tree.class_mask) > 0
+        np.testing.assert_array_equal(
+            np.asarray(ho["cls_weight"])[cmask],
+            np.asarray(hb["cls_weight"])[cmask])
+        np.testing.assert_array_equal(np.asarray(ho["multiplier"]),
+                                      np.asarray(hb["multiplier"]))
+        # and the reimported model computes the same function
+        xs = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (2, 48, 48, 3)), jnp.float32)
+        out_o = model.apply({"params": params}, xs, inference=True)["logits"]
+        out_b = model.apply({"params": {**back, "head": {**ho, **hb}}},
+                            xs, inference=True)["logits"]
+        np.testing.assert_allclose(np.asarray(out_o), np.asarray(out_b),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_resnet_backbone_roundtrip(self, rng):
+        from pipnet_tpu.models import resnet18_features
+        from pipnet_tpu.models.torch_export import export_resnet
+        from pipnet_tpu.models.torch_import import convert_resnet
+
+        model = resnet18_features()
+        init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        params = jax.tree.map(np.asarray, init["params"])
+        stats = jax.tree.map(np.asarray, init["batch_stats"])
+        sd = export_resnet(params, stats, (2, 2, 2, 2), False, prefix="")
+        back_p, back_s = convert_resnet(sd, (2, 2, 2, 2), False, prefix="")
+        for orig, back in ((params, back_p), (stats, back_s)):
+            flat_o = {jax.tree_util.keystr(p): v for p, v in
+                      jax.tree_util.tree_flatten_with_path(orig)[0]}
+            flat_b = {jax.tree_util.keystr(p): v for p, v in
+                      jax.tree_util.tree_flatten_with_path(back)[0]}
+            assert set(flat_o) == set(flat_b)
+            for k in flat_o:
+                np.testing.assert_array_equal(np.asarray(flat_o[k]),
+                                              np.asarray(flat_b[k]),
+                                              err_msg=k)
+
+
 def test_resnet_import_shapes(rng):
     from pipnet_tpu.models import resnet18_features
     # build fake torchvision resnet18 sd
