@@ -118,6 +118,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     add("--use_pallas_backbone", type=str, default="n",
         help="(y/n) fused Mosaic ConvNeXt-block kernel")
     add("--eval_every", type=int, default=5)
+    add("--profile_epoch", type=int, default=0,
+        help="capture a jax.profiler device trace of a few steady-state "
+             "steps of this train epoch into <log_dir>/traces/ "
+             "(TensorBoard / Perfetto); 0 = off")
     add("--final_viz", type=str, default="y")
     add("--resume", action="store_true",
         help="restore the latest net_trained checkpoint from log_dir and "
@@ -242,6 +246,8 @@ def run_pipnet(argv=None) -> int:
     print(tree.summary())
 
     trainer = Trainer(model, tree, cfg, loaders, log=log, ood_loaders=ood_loaders)
+    if args.profile_epoch > 0:
+        trainer.trace_epoch = args.profile_epoch
     trainer.init_state()
 
     # partial restore (the --state_dict_dir_* contract, main.py:289-388)

@@ -167,6 +167,13 @@ class Trainer:
         self.eval_step = make_eval_step(model, tree)
         self.state: Optional[TrainState] = None
         self.history: list = []
+        # --profile_epoch: capture a jax.profiler device trace of a few
+        # steady-state steps of that train epoch into
+        # <log_dir>/traces/epoch_<N> (TensorBoard / Perfetto).  First-class
+        # tracing per SURVEY §5.1 — the reference has none (ad-hoc
+        # time.time deltas, ref main.py:59-64).
+        self.trace_epoch: Optional[int] = None
+        self.trace_steps: int = 8
 
     # -- setup ---------------------------------------------------------------
     def init_state(self, image_size: Optional[int] = None) -> TrainState:
@@ -327,6 +334,15 @@ class Trainer:
                 if timing:
                     t_mark = time.perf_counter()
 
+        # profiling: trace steps 2..1+trace_steps of the chosen epoch (step 1
+        # carries the compile + warmup dispatch and would dominate the trace)
+        trace_dir = None
+        if (self.trace_epoch is not None and not pretrain
+                and epoch == self.trace_epoch):
+            trace_dir = os.path.join(self.log.log_dir, "traces",
+                                     f"epoch_{epoch}")
+        tracing = False
+
         t_mark = time.perf_counter()
         for (xs1d, xs2d, ysd), (scalars, nrows) in _put_prefetch(host_gen()):
             if timing:
@@ -353,11 +369,26 @@ class Trainer:
             self.state, acc = step(self.state, xs1d, xs2d, ysd, scalars, acc)
             n_steps += 1
             n_images += nrows
+            if trace_dir is not None:
+                # fences are real scalar fetches — block_until_ready is
+                # unreliable over the tunneled backend (BENCH_NOTES)
+                if not tracing and n_steps == 1:
+                    np.asarray(jax.device_get(acc["loss"]))
+                    jax.profiler.start_trace(trace_dir)
+                    tracing = True
+                elif tracing and n_steps == 1 + self.trace_steps:
+                    np.asarray(jax.device_get(acc["loss"]))
+                    jax.profiler.stop_trace()
+                    tracing = False
+                    trace_dir = None
             if timing:
                 t_now = time.perf_counter()
                 times["disp"] += t_now - t_mark
                 t_mark = t_now
 
+        if tracing:   # epoch shorter than the requested trace window
+            np.asarray(jax.device_get(acc["loss"]))
+            jax.profiler.stop_trace()
         if timing:
             # serial path: host_gen runs inline inside the consumer's next(),
             # so the raw qwait interval CONTAINS wait+put — subtract them so

@@ -155,6 +155,23 @@ class TestEndToEnd:
         assert (root / "run" / "node_wise_metrics_train" /
                 f"{node0}_losses.csv").exists()
 
+    def test_profile_trace_capture(self, run_setup, tmp_path):
+        """--profile_epoch wires runtime.profiling.trace into the epoch loop:
+        a jax.profiler device trace of a few steady-state steps lands under
+        <log_dir>/traces/epoch_<N> (first-class tracing, SURVEY §5.1 — the
+        reference has only ad-hoc time.time deltas, ref main.py:59-64)."""
+        import dataclasses
+        cfg, model, tree, loaders, root = run_setup
+        cfg2 = dataclasses.replace(cfg, log_dir=str(tmp_path / "trace_run"))
+        trainer = Trainer(model, tree, cfg2, loaders)
+        trainer.trace_epoch = 1
+        trainer.trace_steps = 2
+        trainer.fit(epochs=1, epochs_pretrain=0, eval_every=10, save_every=10)
+        tdir = tmp_path / "trace_run" / "traces" / "epoch_1"
+        assert tdir.is_dir()
+        files = [f for f in tdir.rglob("*") if f.is_file()]
+        assert files, "profiler trace produced no files"
+
     def test_checkpoint_roundtrip(self, run_setup):
         cfg, model, tree, loaders, root = run_setup
         trainer = Trainer(model, tree, cfg, loaders)
