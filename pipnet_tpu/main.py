@@ -219,7 +219,9 @@ def run_pipnet(argv=None) -> int:
         import yaml
         with open(args.phylo_config) as f:
             pc = yaml.safe_load(f)
-        phylo_path = pc["phylogeny_path"]
+        # the reference's yamls hard-code cluster paths (configs/*.yaml);
+        # ours accept $ENV_VAR references so shipped configs are portable
+        phylo_path = os.path.expandvars(pc["phylogeny_path"])
         distances = pc.get("phyloDistances_string")
         if distances in ("None", None):
             distances = None

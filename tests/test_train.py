@@ -539,6 +539,56 @@ class TestResNetTraining:
         assert not np.allclose(np.asarray(old), np.asarray(new))
 
 
+class TestDinoV2Training:
+    def test_dinov2_train_step(self, tiny_root):
+        """One full train step on the DinoV2 ViT-S/14 backbone: the vit path
+        has block-level torch parity (test_torch_import) but must also co-run
+        with the trainer — optimizer partitioning per the reference's dinov2
+        groups (util/args.py:516-524: block11+norm train, blocks 9-10 freeze,
+        rest backbone) and gradient flow through the jitted step."""
+        from pipnet_tpu.train import (Scalars, StepStatics, init_train_state,
+                                      make_train_step)
+        from pipnet_tpu.train.optimizer import label_params
+
+        mcfg = ModelConfig(backbone="dinov2_vits14", image_size=56,
+                           num_protos_per_child=4,
+                           head=HeadConfig(softmax_tau=1.0, protopool=False))
+        model, tree = build_pipnet(tiny_root, mcfg)
+        cfg = RunConfig(model=mcfg, train=TrainConfig(
+            batch_size=4, optim=OptimConfig(),
+            loss=LossConfig(align=True, uni=False, tanh=True,
+                            weighted_ce=False)))
+        state = init_train_state(model, jax.random.PRNGKey(0),
+                                 jnp.zeros((2, 56, 56, 3)))
+
+        # the reference's dinov2 optimizer partitioning, by module
+        labels = label_params(state.params, "dinov2_vits14")
+        lab = {k: jax.tree_util.tree_leaves(v)[0]
+               for k, v in labels["backbone"].items()}
+        assert lab["block11"] == "train" and lab["norm"] == "train"
+        assert lab["block9"] == "freeze" and lab["block10"] == "freeze"
+        assert lab["block0"] == "backbone" and lab["patch_embed"] == "backbone"
+
+        phase = phase_for_epoch(12, cfg.train, pretrain=False)
+        step = jax.jit(make_train_step(model, tree, cfg,
+                                       StepStatics(phase=phase,
+                                                   eta_min_net=5e-6)))
+        r = np.random.default_rng(3)
+        xs1 = jnp.asarray(r.standard_normal((4, 56, 56, 3)), jnp.float32)
+        xs2 = jnp.asarray(r.standard_normal((4, 56, 56, 3)), jnp.float32)
+        ys = jnp.asarray(r.integers(0, tree.num_classes, 4))
+        sc = Scalars.make(net_t=0, net_T=10, epoch_frac=0,
+                          align_pf_weight=5.0, tanh_weight=2.0)
+        new_state, m = step(state, xs1, xs2, ys, sc)
+        assert np.isfinite(float(m["loss"]))
+        # the trainable tail (block11) moved; a full-phase step trains it
+        old = np.asarray(
+            state.params["backbone"]["block11"]["attn"]["qkv"]["kernel"])
+        new = np.asarray(
+            new_state.params["backbone"]["block11"]["attn"]["qkv"]["kernel"])
+        assert not np.allclose(old, new)
+
+
 class TestMaskedEvalDegenerateFallback:
     def test_eval_step_applies_leaf_count_prior(self, tiny_root):
         """make_eval_step(apply_overspecificity_mask=True) must detect nodes
