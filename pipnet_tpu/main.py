@@ -122,6 +122,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="capture a jax.profiler device trace of a few steady-state "
              "steps of this train epoch into <log_dir>/traces/ "
              "(TensorBoard / Perfetto); 0 = off")
+    add("--checkpoint_every", type=int, default=1,
+        help="epochs between rolling net_trained saves (1 = reference "
+             "parity: every epoch; raise on backends with slow/flaky "
+             "device->host transfer — the last epoch always saves)")
     add("--final_viz", type=str, default="y")
     add("--resume", action="store_true",
         help="restore the latest net_trained checkpoint from log_dir and "
@@ -250,6 +254,7 @@ def run_pipnet(argv=None) -> int:
     trainer = Trainer(model, tree, cfg, loaders, log=log, ood_loaders=ood_loaders)
     if args.profile_epoch > 0:
         trainer.trace_epoch = args.profile_epoch
+    trainer.checkpoint_every = max(1, args.checkpoint_every)
     trainer.init_state()
 
     # partial restore (the --state_dict_dir_* contract, main.py:289-388)
@@ -258,27 +263,40 @@ def run_pipnet(argv=None) -> int:
                          "state_dict_dir_net too, main.py:291)")
     if args.state_dict_dir_backbone:
         from .train.checkpoint import load_backbone_only
-        trainer.state = load_backbone_only(args.state_dict_dir_backbone, trainer.state)
+        trainer.adopt_state(
+            load_backbone_only(args.state_dict_dir_backbone, trainer.state))
     elif args.state_dict_dir_fullmodel:
         from .train.checkpoint import restore_checkpoint
-        trainer.state, extra = restore_checkpoint(args.state_dict_dir_fullmodel,
-                                                  trainer.state)
+        restored, extra = restore_checkpoint(args.state_dict_dir_fullmodel,
+                                             trainer.state)
+        trainer.adopt_state(restored)
         print(f"restored full model: {extra}")
 
-    start_epoch = 0
+    start_epoch, skip_pretrain = 0, False
     if args.resume:
+        from .train.checkpoint import (resolve_checkpoint_dir,
+                                       restore_checkpoint)
         ckpt = os.path.join(log.checkpoint_dir, "net_trained")
-        if os.path.isdir(ckpt):
-            from .train.checkpoint import restore_checkpoint
-            trainer.state, extra = restore_checkpoint(ckpt, trainer.state)
+        if resolve_checkpoint_dir(ckpt):
+            restored, extra = restore_checkpoint(ckpt, trainer.state)
+            trainer.adopt_state(restored)
             start_epoch = int(extra.get("epoch", 0))
             print(f"resumed from epoch {start_epoch}")
+        elif resolve_checkpoint_dir(
+                os.path.join(log.checkpoint_dir, "net_pretrained")):
+            restored, _ = restore_checkpoint(
+                os.path.join(log.checkpoint_dir, "net_pretrained"),
+                trainer.state)
+            trainer.adopt_state(restored)
+            skip_pretrain = True
+            print("resumed from net_pretrained (no train-phase checkpoint)")
 
     if args.training_wheels == "y":
         print("training wheels: smoke run, 1 pretrain + 1 train epoch")
         result = trainer.fit(epochs=1, epochs_pretrain=1, eval_every=1)
     else:
-        result = trainer.fit(eval_every=args.eval_every, start_epoch=start_epoch)
+        result = trainer.fit(eval_every=args.eval_every, start_epoch=start_epoch,
+                             skip_pretrain=skip_pretrain)
 
     if args.final_viz == "y" and len(loaders.classes) <= 60:
         from .interp import (run_projection, save_hierarchy_galleries,

@@ -99,7 +99,9 @@ class Tee:
     """Duplicate a stream to a file (ref main.py:869-879)."""
 
     def __init__(self, path: str, stream=None):
-        self.file = open(path, "a")
+        # line-buffered: a killed/wedged process must still leave its
+        # progress on disk (an empty out.txt after a hang is useless)
+        self.file = open(path, "a", buffering=1)
         self.stream = stream or sys.stdout
 
     def write(self, data):

@@ -33,36 +33,67 @@ def _to_saveable(state: TrainState) -> Dict[str, Any]:
 
 def save_checkpoint(checkpoint_dir: str, name: str, state: TrainState,
                     **extra) -> str:
+    """Crash-safe overwrite: the new checkpoint is fully written to
+    ``<name>.new`` (orbax's own tmp->rename makes that step atomic) BEFORE the
+    previous one is touched, then the two are swapped.  A hang or crash
+    mid-save — observed in practice when the device->host fetch inside orbax
+    serialization wedges on the tunneled backend — can therefore never
+    destroy the last complete checkpoint (the earlier delete-then-save
+    ordering did exactly that)."""
+    import glob
+    import json
+    import shutil
+
     path = os.path.abspath(os.path.join(checkpoint_dir, name))
-    # force=True alone is not enough on this orbax version: the atomic
-    # tmp->final rename still collides with a prior checkpoint of the same
-    # name (seen when net_trained is re-saved every save_every epochs), so
-    # drop the stale directory first
-    if os.path.isdir(path):
-        import shutil
-        shutil.rmtree(path)
+    new, old = path + ".new", path + ".old"
+    # leftovers from a previous crashed/hung save of this name
+    for stale in [new, old] + glob.glob(path + "*.orbax-checkpoint-tmp"):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, _to_saveable(state), force=True)
+    ckptr.save(new, _to_saveable(state), force=True)
     ckptr.wait_until_finished()
     # run metadata (epoch, phase, ...) travels in a sidecar JSON, not the
     # array tree — the reference instead parses epochs out of checkpoint
     # FILENAMES (main_dist.py:405-408)
-    import json
-    with open(path + ".meta.json", "w") as f:
+    with open(new + ".meta.json", "w") as f:
         json.dump(extra, f)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(new, path)
+    os.replace(new + ".meta.json", path + ".meta.json")
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     return path
+
+
+def resolve_checkpoint_dir(path: str) -> Optional[str]:
+    """The directory to restore for checkpoint ``path``, surviving a crash at
+    any point of the save/swap: the final name, else a completed-but-unswapped
+    ``.new``, else the displaced ``.old``.  None if no complete checkpoint
+    exists."""
+    p = os.path.abspath(path)
+    for cand in (p, p + ".new", p + ".old"):
+        if os.path.isdir(cand):
+            return cand
+    return None
 
 
 def restore_checkpoint(path: str, template: Optional[TrainState] = None):
     """Returns (TrainState, extra dict).  With a template the restore is
     shape/dtype checked; without, raw arrays are returned."""
     import json
+    resolved = resolve_checkpoint_dir(path)
+    if resolved is None:
+        raise FileNotFoundError(f"no checkpoint at {path} (nor .new/.old)")
     ckptr = ocp.StandardCheckpointer()
     if template is not None:
-        restored = ckptr.restore(os.path.abspath(path), _to_saveable(template))
+        restored = ckptr.restore(resolved, _to_saveable(template))
     else:
-        restored = ckptr.restore(os.path.abspath(path))
-    meta_path = os.path.abspath(path) + ".meta.json"
+        restored = ckptr.restore(resolved)
+    meta_path = resolved + ".meta.json"
+    if not os.path.exists(meta_path):
+        meta_path = os.path.abspath(path) + ".meta.json"
     extra = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:

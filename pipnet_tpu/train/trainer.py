@@ -174,22 +174,38 @@ class Trainer:
         # time.time deltas, ref main.py:59-64).
         self.trace_epoch: Optional[int] = None
         self.trace_steps: int = 8
+        # cadence of the rolling net_trained save (1 = reference parity:
+        # every epoch, main.py:703-705); the last epoch always saves
+        self.checkpoint_every: int = 1
 
     # -- setup ---------------------------------------------------------------
     def init_state(self, image_size: Optional[int] = None) -> TrainState:
         size = image_size or self.cfg.model.image_size
         sample = jnp.zeros((2, size, size, 3), jnp.float32)
         rng = jax.random.PRNGKey(self.cfg.train.seed)
-        self.state = init_train_state(self.model, rng, sample)
-        if "model" in self.mesh.axis_names or self._zero1_active():
-            # place explicitly: head params (+ optimizer mirrors) sharded on
-            # the prototype axis, Adam moments ZeRO-1-sharded over data when
-            # enabled, everything else replicated — GSPMD propagates from
-            # here through the jitted step
-            self.state = jax.device_put(
-                self.state, state_shardings(self.mesh, self.state,
-                                            zero1=self.cfg.train.zero1))
+        self.state = self._place_state(init_train_state(self.model, rng, sample))
         return self.state
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Commit a state to the layout the jitted step expects: head params
+        (+ optimizer mirrors) sharded on the prototype axis under model
+        parallelism, Adam moments ZeRO-1-sharded over data when enabled,
+        everything else replicated — GSPMD propagates from here through the
+        jitted step.  Single-device meshes skip the put (a NamedSharding put
+        is pathologically slow on the tunneled backend, see fit())."""
+        if self.mesh.devices.size > 1:
+            return jax.device_put(
+                state, state_shardings(self.mesh, state,
+                                       zero1=self.cfg.train.zero1))
+        return state
+
+    def adopt_state(self, state: TrainState) -> None:
+        """Install an externally-restored TrainState (checkpoint resume or
+        partial load).  Orbax restores land COMMITTED on the default device;
+        on a multi-device mesh jit refuses to mix that placement with the
+        sharded batch ("incompatible devices for jitted computation"), so
+        restored states must be re-placed onto the step's layout."""
+        self.state = self._place_state(state)
 
     def _zero1_active(self) -> bool:
         return (self.cfg.train.zero1
@@ -428,15 +444,19 @@ class Trainer:
     def fit(self, *, epochs: Optional[int] = None,
             epochs_pretrain: Optional[int] = None,
             eval_every: int = 5, save_every: int = 5,
-            log_prefix: str = "", start_epoch: int = 0) -> Dict[str, float]:
+            log_prefix: str = "", start_epoch: int = 0,
+            skip_pretrain: bool = False) -> Dict[str, float]:
         """``start_epoch > 0`` resumes phase 2 at that epoch (pretraining
         skipped), with scheduler state recovered purely from the step counter —
-        no LR-replay hack (cf. main_dist.py:542-567)."""
+        no LR-replay hack (cf. main_dist.py:542-567).  ``skip_pretrain``
+        resumes from a restored ``net_pretrained`` state: phase 2 starts at
+        epoch 1 without re-running phase 1 (but keeps phase-1 epoch
+        numbering in the logs)."""
         cfg = self.cfg.train
         n_pre = cfg.epochs_pretrain if epochs_pretrain is None else epochs_pretrain
         n_epochs = cfg.epochs if epochs is None else epochs
         n_pre_log = n_pre
-        if start_epoch > 0:
+        if start_epoch > 0 or skip_pretrain:
             # resume skips pretraining but keeps the original epoch NUMBERING
             # (otherwise resumed CSV/JSONL rows land n_pre lower than the
             # fresh run's and overlap earlier rows)
@@ -484,8 +504,12 @@ class Trainer:
                                     f"{last_eval['top5']:.5f}",
                                     f"{info['fine_accuracy']:.5f}",
                                     f"{info['loss']:.5f}")
-            save_checkpoint(self.log.checkpoint_dir, "net_trained", self.state,
-                            epoch=epoch, phase="train")
+            # the reference saves net_trained EVERY epoch (main.py:703-705);
+            # checkpoint_every > 1 coarsens that for backends where the
+            # device->host state fetch is slow or flaky (tunneled TPU)
+            if epoch % self.checkpoint_every == 0 or epoch == n_epochs:
+                save_checkpoint(self.log.checkpoint_dir, "net_trained",
+                                self.state, epoch=epoch, phase="train")
             if epoch % save_every == 0:
                 save_checkpoint(self.log.checkpoint_dir, f"net_trained_{epoch}",
                                 self.state, epoch=epoch, phase="train")

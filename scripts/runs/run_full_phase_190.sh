@@ -8,22 +8,30 @@
 # exclusive with weighted sampling, ref util/data.py:483-484 — LOU is
 # exercised post-hoc via the evaluate CLI decode short-circuit.)
 #
-# Collapse-safe recipe: classifier lr 0.01 (the flagship 0.05 warm-restart
-# collapses small synthetic datasets at the first restart after
-# convergence, ROADMAP "Known behaviors").  Post-run:
+# Collapse-safe recipe (both measured on this dataset family):
+# - classifier lr 0.01 (the flagship 0.05 warm-restart collapses small
+#   synthetic datasets at the first restart after convergence, ROADMAP
+#   "Known behaviors");
+# - backbone/block lr 1e-4 and 48 imgs/class (with 5e-4 / 24 imgs/class
+#   the first FULL-unfreeze epoch blows the -log(tanh(.)) terms up:
+#   loss 2.7 -> 110 at epochs 9 -> 10, prototypes dead from then on).
+# checkpoint_every 5: the tunneled backend's device->host fetch can
+# degrade to ~8 MB/s, making the reference's every-epoch ~400 MB save
+# the bottleneck (and once, a wedged fetch hung the run mid-save).
+# Post-run:
 #   python -m pipnet_tpu.evaluate --run_dir ./runs/full_phase_190 \
 #     --leave_out_classes configs/leave_out_synthetic190.txt
 #   python -m pipnet_tpu.evaluate --run_dir ./runs/full_phase_190 \
 #     --apply_overspecificity_mask
 python -m pipnet_tpu.main \
   --log_dir ./runs/full_phase_190 \
-  --dataset synthetic:190:24 \
+  --dataset synthetic:190:48 \
   --net convnext_tiny_26 \
   --batch_size 64 --batch_size_pretrain 96 \
   --epochs 40 --epochs_pretrain 3 \
   --epochs_finetune_classifier 2 --epochs_finetune 4 \
   --epochs_finetune_mask_prune 34 --freeze_epochs 8 \
-  --lr 0.01 --lr_block 0.0005 --lr_net 0.0005 \
+  --lr 0.01 --lr_block 0.0001 --lr_net 0.0001 \
   --image_size 224 --seed 1 \
   --kernel_orth y --num_protos_per_descendant 0 --num_protos_per_child 10 \
   --align n --uni n --align_pf y --tanh y --tanh_desc 'y|0.05' \
@@ -32,4 +40,4 @@ python -m pipnet_tpu.main \
   --mask_prune_overspecific 'y|20|1.1' --minimize_contrasting_set 'y|1|0.1' \
   --weighted_loss \
   --compute_dtype bfloat16 --fast_gelu y --use_pallas_head y \
-  --eval_every 5 "$@"
+  --eval_every 5 --checkpoint_every 5 "$@"

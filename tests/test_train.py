@@ -589,6 +589,75 @@ class TestDinoV2Training:
         assert not np.allclose(old, new)
 
 
+class TestCrashSafeCheckpoint:
+    """A hang/crash inside the orbax save (observed in practice: the
+    device->host fetch in orbax serialization wedged on the tunneled backend)
+    must never destroy the previous complete checkpoint — save_checkpoint
+    writes to <name>.new first and swaps only after the new one is fully on
+    disk."""
+
+    def _tiny_state(self, tiny_root):
+        from pipnet_tpu.train import init_train_state
+        mcfg = ModelConfig(backbone="convnext_tiny_26", image_size=48,
+                           num_protos_per_child=3,
+                           head=HeadConfig(softmax_tau=1.0, protopool=False))
+        model, tree = build_pipnet(tiny_root, mcfg)
+        return init_train_state(model, jax.random.PRNGKey(0),
+                                jnp.zeros((2, 48, 48, 3)))
+
+    def test_failed_save_preserves_previous(self, tiny_root, tmp_path,
+                                            monkeypatch):
+        import orbax.checkpoint as ocp
+
+        from pipnet_tpu.train.checkpoint import (restore_checkpoint,
+                                                 save_checkpoint)
+        d = str(tmp_path)
+        state1 = self._tiny_state(tiny_root)
+        save_checkpoint(d, "net_trained", state1, epoch=1)
+        state2 = state1._replace(
+            params=jax.tree.map(lambda x: x * 0 + 7.0, state1.params))
+
+        def boom(self, *a, **k):
+            raise RuntimeError("wedged device->host transfer")
+
+        monkeypatch.setattr(ocp.StandardCheckpointer, "save", boom)
+        with pytest.raises(RuntimeError):
+            save_checkpoint(d, "net_trained", state2, epoch=2)
+        monkeypatch.undo()
+
+        # the previous checkpoint survives the failed overwrite
+        path = str(tmp_path / "net_trained")
+        restored, extra = restore_checkpoint(path, state1)
+        assert extra["epoch"] == 1
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["head"]["cls_weight"]),
+            np.asarray(state1.params["head"]["cls_weight"]))
+        # and a later successful save replaces it cleanly despite leftovers
+        save_checkpoint(d, "net_trained", state2, epoch=2)
+        restored2, extra2 = restore_checkpoint(path, state1)
+        assert extra2["epoch"] == 2
+        np.testing.assert_array_equal(
+            np.asarray(restored2.params["head"]["cls_weight"]),
+            np.asarray(state2.params["head"]["cls_weight"]))
+
+    def test_restore_resolves_unswapped_new(self, tiny_root, tmp_path):
+        """A crash between 'new checkpoint complete' and 'swap done' leaves
+        only <name>.new — restore must find it."""
+        import os
+
+        from pipnet_tpu.train.checkpoint import (resolve_checkpoint_dir,
+                                                 restore_checkpoint,
+                                                 save_checkpoint)
+        d = str(tmp_path)
+        state = self._tiny_state(tiny_root)
+        path = save_checkpoint(d, "net_trained", state, epoch=4)
+        os.rename(path, path + ".new")
+        os.rename(path + ".meta.json", path + ".new.meta.json")
+        assert resolve_checkpoint_dir(path) == path + ".new"
+        restored, extra = restore_checkpoint(path, state)
+        assert extra["epoch"] == 4
+
+
 class TestMaskedEvalDegenerateFallback:
     def test_eval_step_applies_leaf_count_prior(self, tiny_root):
         """make_eval_step(apply_overspecificity_mask=True) must detect nodes
