@@ -73,8 +73,20 @@ def run(argv=None) -> int:
                       dataset=dataset, classes=loaders.classes,
                       phylo_path=dkw.get("phylo_path"))
     model, tree = bundle.model, bundle.tree
+    # evaluation needs no model parallelism: a run TRAINED with
+    # --model_parallel N must still evaluate on a host with fewer devices
+    # (run dirs relocate; serve.py makes the same choice), so the trained
+    # mesh shape is not replayed here
+    import dataclasses
+
+    import jax as _jax
+    dp = min(cfg.train.data_parallel or len(_jax.devices()),
+             len(_jax.devices()))
+    if cfg.train.model_parallel > 1 or dp != cfg.train.data_parallel:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, model_parallel=1, data_parallel=dp))
     trainer = Trainer(model, tree, cfg, loaders, log=RunLog(args.run_dir))
-    trainer.state = bundle.state
+    trainer.adopt_state(bundle.state)
     print(f"restored {os.path.join(args.run_dir, 'checkpoints', args.checkpoint)}: "
           f"{bundle.extra}")
 

@@ -274,14 +274,19 @@ def run_pipnet(argv=None) -> int:
 
     start_epoch, skip_pretrain = 0, False
     if args.resume:
-        from .train.checkpoint import (resolve_checkpoint_dir,
+        from .train.checkpoint import (latest_train_checkpoint,
+                                       resolve_checkpoint_dir,
                                        restore_checkpoint)
-        ckpt = os.path.join(log.checkpoint_dir, "net_trained")
-        if resolve_checkpoint_dir(ckpt):
+        # the NEWEST train-phase checkpoint by recorded epoch: with
+        # --checkpoint_every > 1 a periodic net_trained_<E> snapshot can be
+        # newer than the rolling net_trained
+        ckpt, meta = latest_train_checkpoint(log.checkpoint_dir)
+        if ckpt is not None:
             restored, extra = restore_checkpoint(ckpt, trainer.state)
             trainer.adopt_state(restored)
             start_epoch = int(extra.get("epoch", 0))
-            print(f"resumed from epoch {start_epoch}")
+            print(f"resumed from epoch {start_epoch} "
+                  f"({os.path.basename(ckpt)})")
         elif resolve_checkpoint_dir(
                 os.path.join(log.checkpoint_dir, "net_pretrained")):
             restored, _ = restore_checkpoint(

@@ -126,7 +126,10 @@ def export_reference_pipnet(params: Mapping[str, Any],
         sd = export_convnext_tiny(params["backbone"], pref)
     elif arch in RESNET_SPECS:
         layers, bottleneck = RESNET_SPECS[arch]
-        sd = export_resnet(params["backbone"], batch_stats or {},
+        # the live batch_stats collection nests under "backbone", mirroring
+        # params; export_resnet indexes stats["bn1"] etc. directly
+        stats = (batch_stats or {}).get("backbone", batch_stats or {})
+        sd = export_resnet(params["backbone"], stats,
                            layers, bottleneck, pref)
     else:
         raise ValueError(f"no reference export for backbone {arch!r} "

@@ -136,8 +136,11 @@ def load_run(run_dir: str, checkpoint: str = "net_trained_last",
             with open(cfg.phylo_config) as f:
                 pc = yaml.safe_load(f)
             d = pc.get("phyloDistances_string")
-            root = build_tree_from_config(pc["phylogeny_path"],
-                                          None if d in ("None", None) else d)
+            # $ENV_VAR references keep shipped configs portable — same
+            # expansion main.py applies when training (main.py:228)
+            root = build_tree_from_config(
+                os.path.expandvars(pc["phylogeny_path"]),
+                None if d in ("None", None) else d)
     else:
         root = flat_tree(classes, cfg.model.num_features or 512)
 

@@ -231,15 +231,20 @@ def serve_http(pred: "Predictor", port: int = 8000, host: str = "127.0.0.1"):
 
         def do_POST(self):
             route = urlparse(self.path).path
-            q = parse_qs(urlparse(self.path).query)
-            topk = int(q.get("topk", ["3"])[0])
-            n = int(self.headers.get("Content-Length", 0))
-            body = self.rfile.read(n)
             try:
+                # query/header parsing inside the try so a malformed topk or
+                # Content-Length is a 400, not a dropped connection
+                q = parse_qs(urlparse(self.path).query)
+                topk = int(q.get("topk", ["3"])[0])
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
                 if route == "/predict":
                     img = Image.open(io.BytesIO(body)).convert("RGB")
+                    # hold the device lock for the compute only — writing the
+                    # response to a slow client must not serialize the server
                     with lock:
-                        self._json(200, pred.predict([img], topk=topk)[0])
+                        result = pred.predict([img], topk=topk)[0]
+                    self._json(200, result)
                 elif route == "/predict_batch":
                     req = json.loads(body)
                     with lock:

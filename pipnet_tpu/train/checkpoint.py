@@ -31,6 +31,32 @@ def _to_saveable(state: TrainState) -> Dict[str, Any]:
     }
 
 
+def _repair_interrupted_swap(path: str) -> None:
+    """Finish a swap a previous save crashed in the middle of — never delete
+    the only (or the newest) complete checkpoint of this name.  A ``.new``
+    whose in-dir metadata landed is a fully finished save that just never got
+    swapped in: PROMOTE it (it is strictly newer than the final dir).  Orbax's
+    own tmp->rename makes ``.new`` existing imply its arrays are complete
+    (partial writes live under ``*.orbax-checkpoint-tmp-<ts>`` names); the
+    metadata check guards the microscopic window between array completion and
+    the meta write, where the older checkpoint's epoch record is worth more
+    than meta-less newer arrays."""
+    import shutil
+
+    new, old = path + ".new", path + ".old"
+    if (os.path.isdir(new)
+            and os.path.exists(os.path.join(new, "pipnet_meta.json"))):
+        if os.path.isdir(path):
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.rename(path, old)
+        os.rename(new, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    elif not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+
+
 def save_checkpoint(checkpoint_dir: str, name: str, state: TrainState,
                     **extra) -> str:
     """Crash-safe overwrite: the new checkpoint is fully written to
@@ -39,31 +65,36 @@ def save_checkpoint(checkpoint_dir: str, name: str, state: TrainState,
     mid-save — observed in practice when the device->host fetch inside orbax
     serialization wedges on the tunneled backend — can therefore never
     destroy the last complete checkpoint (the earlier delete-then-save
-    ordering did exactly that)."""
+    ordering did exactly that).  Run metadata (epoch, phase, ...) is written
+    INSIDE the checkpoint directory (``pipnet_meta.json``) so weights and
+    metadata swap in one atomic rename; the reference instead parses epochs
+    out of checkpoint FILENAMES (main_dist.py:405-408)."""
     import glob
     import json
     import shutil
 
     path = os.path.abspath(os.path.join(checkpoint_dir, name))
     new, old = path + ".new", path + ".old"
-    # leftovers from a previous crashed/hung save of this name
-    for stale in [new, old] + glob.glob(path + "*.orbax-checkpoint-tmp"):
+    # leftovers from a previous crashed/hung save of this name: repair an
+    # interrupted swap first (promote, don't delete), then drop what remains
+    _repair_interrupted_swap(path)
+    for stale in [new, old] + glob.glob(path + "*orbax-checkpoint-tmp*"):
         if os.path.isdir(stale):
             shutil.rmtree(stale)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(new, _to_saveable(state), force=True)
     ckptr.wait_until_finished()
-    # run metadata (epoch, phase, ...) travels in a sidecar JSON, not the
-    # array tree — the reference instead parses epochs out of checkpoint
-    # FILENAMES (main_dist.py:405-408)
-    with open(new + ".meta.json", "w") as f:
+    with open(os.path.join(new, "pipnet_meta.json"), "w") as f:
         json.dump(extra, f)
     if os.path.isdir(path):
         os.rename(path, old)
     os.rename(new, path)
-    os.replace(new + ".meta.json", path + ".meta.json")
     if os.path.isdir(old):
         shutil.rmtree(old)
+    # stale sidecar from the pre-in-dir-meta format would otherwise shadow
+    # nothing but confuse humans reading the directory
+    if os.path.exists(path + ".meta.json"):
+        os.remove(path + ".meta.json")
     return path
 
 
@@ -73,16 +104,66 @@ def resolve_checkpoint_dir(path: str) -> Optional[str]:
     ``.new``, else the displaced ``.old``.  None if no complete checkpoint
     exists."""
     p = os.path.abspath(path)
-    for cand in (p, p + ".new", p + ".old"):
+    if os.path.isdir(p):
+        return p
+    new, old = p + ".new", p + ".old"
+    if os.path.isdir(new) and os.path.exists(
+            os.path.join(new, "pipnet_meta.json")):
+        return new
+    for cand in (old, new):
         if os.path.isdir(cand):
             return cand
     return None
 
 
+def checkpoint_meta(path: str) -> Optional[Dict[str, Any]]:
+    """The run-metadata dict of checkpoint ``path`` without restoring arrays;
+    None if no complete checkpoint exists there.  Reads the in-dir
+    ``pipnet_meta.json``, falling back to the legacy ``.meta.json`` sidecars."""
+    import json
+    resolved = resolve_checkpoint_dir(path)
+    if resolved is None:
+        return None
+    for mp in (os.path.join(resolved, "pipnet_meta.json"),
+               resolved + ".meta.json",
+               os.path.abspath(path) + ".meta.json"):
+        if os.path.exists(mp):
+            with open(mp) as f:
+                return json.load(f)
+    return {}
+
+
+def latest_train_checkpoint(checkpoint_dir: str):
+    """(path, meta) of the NEWEST restorable train-phase checkpoint by
+    recorded epoch — the rolling ``net_trained`` plus any ``net_trained_<E>``
+    / ``net_trained_last`` snapshots.  With ``--checkpoint_every > 1`` a
+    periodic snapshot can be newer than the rolling save; resuming from the
+    rolling name alone would silently discard those epochs.
+    (None, {}) when nothing restorable exists."""
+    names = set()
+    if os.path.isdir(checkpoint_dir):
+        for entry in os.listdir(checkpoint_dir):
+            base = entry
+            for suf in (".meta.json", ".new", ".old"):
+                if base.endswith(suf):
+                    base = base[: -len(suf)]
+            if base == "net_trained" or base.startswith("net_trained_"):
+                names.add(base)
+    best = None
+    for name in sorted(names):
+        p = os.path.join(checkpoint_dir, name)
+        meta = checkpoint_meta(p)
+        if meta is None:
+            continue
+        key = (int(meta.get("epoch", -1)), name == "net_trained")
+        if best is None or key > best[0]:
+            best = (key, p, meta)
+    return (best[1], best[2]) if best else (None, {})
+
+
 def restore_checkpoint(path: str, template: Optional[TrainState] = None):
     """Returns (TrainState, extra dict).  With a template the restore is
     shape/dtype checked; without, raw arrays are returned."""
-    import json
     resolved = resolve_checkpoint_dir(path)
     if resolved is None:
         raise FileNotFoundError(f"no checkpoint at {path} (nor .new/.old)")
@@ -91,13 +172,7 @@ def restore_checkpoint(path: str, template: Optional[TrainState] = None):
         restored = ckptr.restore(resolved, _to_saveable(template))
     else:
         restored = ckptr.restore(resolved)
-    meta_path = resolved + ".meta.json"
-    if not os.path.exists(meta_path):
-        meta_path = os.path.abspath(path) + ".meta.json"
-    extra = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            extra = json.load(f)
+    extra = checkpoint_meta(path) or {}
     from .optimizer import AdamState
     rng = restored["rng"]
     if not jax.dtypes.issubdtype(getattr(rng, "dtype", np.uint32),

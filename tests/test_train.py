@@ -642,7 +642,7 @@ class TestCrashSafeCheckpoint:
 
     def test_restore_resolves_unswapped_new(self, tiny_root, tmp_path):
         """A crash between 'new checkpoint complete' and 'swap done' leaves
-        only <name>.new — restore must find it."""
+        only <name>.new — restore must find it (meta travels IN the dir)."""
         import os
 
         from pipnet_tpu.train.checkpoint import (resolve_checkpoint_dir,
@@ -652,10 +652,63 @@ class TestCrashSafeCheckpoint:
         state = self._tiny_state(tiny_root)
         path = save_checkpoint(d, "net_trained", state, epoch=4)
         os.rename(path, path + ".new")
-        os.rename(path + ".meta.json", path + ".new.meta.json")
         assert resolve_checkpoint_dir(path) == path + ".new"
         restored, extra = restore_checkpoint(path, state)
         assert extra["epoch"] == 4
+
+    def test_save_promotes_newer_unswapped_new(self, tiny_root, tmp_path):
+        """A completed-but-unswapped .new is strictly newer than the final
+        dir: the next save must promote it into place before overwriting, so
+        a crash in THAT save still leaves the newest complete state."""
+        import os
+
+        import orbax.checkpoint as ocp
+
+        from pipnet_tpu.train.checkpoint import (restore_checkpoint,
+                                                 save_checkpoint)
+        d = str(tmp_path)
+        s1 = self._tiny_state(tiny_root)
+        s2 = s1._replace(params=jax.tree.map(lambda x: x * 0 + 7.0, s1.params))
+        path = save_checkpoint(d, "net_trained", s1, epoch=1)
+        # simulate: epoch-2 save completed .new but crashed before the swap
+        save_checkpoint(d, "net_trained", s2, epoch=2)
+        os.rename(path, path + ".new")
+        ck = ocp.StandardCheckpointer()
+        ck.save(path, {
+            "params": s1.params, "batch_stats": s1.batch_stats,
+            "opt_mu": s1.opt.mu, "opt_nu": s1.opt.nu,
+            "opt_count": s1.opt.count,
+            "rng": jax.random.key_data(s1.rng), "byol": s1.byol}, force=True)
+        ck.wait_until_finished()
+        import json
+        with open(os.path.join(path, "pipnet_meta.json"), "w") as f:
+            json.dump({"epoch": 1}, f)
+        # a failing epoch-3 save must first promote the epoch-2 .new
+        import pytest as _pytest
+        with _pytest.MonkeyPatch.context() as mp:
+            def boom(self, *a, **k):
+                raise RuntimeError("wedged")
+            mp.setattr(ocp.StandardCheckpointer, "save", boom)
+            with _pytest.raises(RuntimeError):
+                save_checkpoint(d, "net_trained", s1, epoch=3)
+        _, extra = restore_checkpoint(path, s1)
+        assert extra["epoch"] == 2
+
+    def test_resume_picks_newest_snapshot(self, tiny_root, tmp_path):
+        """With checkpoint_every > 1 a periodic net_trained_<E> snapshot can
+        be newer than the rolling net_trained — resume must pick it."""
+        from pipnet_tpu.train.checkpoint import (latest_train_checkpoint,
+                                                 save_checkpoint)
+        d = str(tmp_path)
+        state = self._tiny_state(tiny_root)
+        save_checkpoint(d, "net_trained", state, epoch=5)
+        save_checkpoint(d, "net_trained_8", state, epoch=8)
+        path, meta = latest_train_checkpoint(d)
+        assert path.endswith("net_trained_8") and meta["epoch"] == 8
+        # ties prefer the rolling name
+        save_checkpoint(d, "net_trained", state, epoch=8)
+        path, meta = latest_train_checkpoint(d)
+        assert path.endswith("net_trained") and meta["epoch"] == 8
 
 
 class TestMaskedEvalDegenerateFallback:
