@@ -331,3 +331,12 @@ class EvalTransform:
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         return to_normalized_array(resize(img, self.image_size), self.grayscale)
+
+    def base_view(self, img: Image.Image) -> np.ndarray:
+        """The deterministic uint8 stage before normalization — what the
+        device-resident cache stores (data/device_cache.py); normalize then
+        runs on device and matches ``to_normalized_array`` to float rounding."""
+        img = resize(img, self.image_size)
+        if self.grayscale:
+            img = img.convert("L")
+        return np.asarray(img.convert("RGB"), np.uint8)

@@ -233,6 +233,17 @@ class Loader:
             order = order[self.host_id::self.num_hosts]
         return order
 
+    def epoch_index_batches(self, epoch: int = 0):
+        """(dataset_rows, targets) per batch — the full sampling pipeline
+        (shuffle / weighted / leave-out / host shard / drop_last) WITHOUT
+        materializing images, for the device-resident data cache
+        (data/device_cache.py): the device gathers the rows itself."""
+        order = self._epoch_indices(epoch)
+        for bi in range(self._epoch_len):
+            rows = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+            yield (np.ascontiguousarray(rows, np.int32),
+                   np.asarray(self.targets[rows], np.int64))
+
     def epoch(self, epoch: int = 0) -> Iterator[Batch]:
         order = self._epoch_indices(epoch)
         nb = self._epoch_len

@@ -177,6 +177,10 @@ class Trainer:
         # cadence of the rolling net_trained save (1 = reference parity:
         # every epoch, main.py:703-705); the last epoch always saves
         self.checkpoint_every: int = 1
+        # device-resident dataset caches, lazily built per dataset object
+        # (data/device_cache.py): None = checked and not cacheable/over budget
+        self._device_data: Dict[int, object] = {}
+        self._device_data_bytes: int = 0
 
     # -- setup ---------------------------------------------------------------
     def init_state(self, image_size: Optional[int] = None) -> TrainState:
@@ -210,6 +214,44 @@ class Trainer:
     def _zero1_active(self) -> bool:
         return (self.cfg.train.zero1
                 and int(dict(self.mesh.shape).get("data", 1)) > 1)
+
+    # -- device-resident data ------------------------------------------------
+    def device_cache_for(self, loader):
+        """The device-resident data cache for ``loader``'s dataset, building
+        it on first use; None when gated off.  Gates: PIPNET_DEVICE_DATA=0
+        disables; total cached bytes capped by PIPNET_DEVICE_CACHE_MB
+        (default 6144); single-device meshes only (a sharded gather would
+        need the array replicated or index-sharded per device — stream the
+        batches instead, real pods don't pay the tunnel's put retention)."""
+        import os
+        if os.environ.get("PIPNET_DEVICE_DATA", "1") == "0":
+            return None
+        if self.mesh.devices.size > 1:
+            return None
+        key = id(loader.dataset)
+        if key in self._device_data:
+            return self._device_data[key]
+        from ..data.device_cache import build_device_cache, estimate_bytes
+        budget = int(os.environ.get("PIPNET_DEVICE_CACHE_MB", "6144")) << 20
+        est = estimate_bytes(loader.dataset)
+        cache = None
+        if est is not None and self._device_data_bytes + est <= budget:
+            cache = build_device_cache(loader)
+            if cache is not None:
+                self._device_data_bytes += cache.nbytes
+                print(f"device data cache: {cache.kind} "
+                      f"{cache.nbytes / 2**20:.0f} MB "
+                      f"({self._device_data_bytes / 2**20:.0f} MB total)",
+                      flush=True)
+        self._device_data[key] = cache
+        return cache
+
+    def drop_device_cache(self, loader) -> None:
+        """Free a cache's HBM (the pretrain cache after the pretrain phase)."""
+        cache = self._device_data.pop(id(loader.dataset), None)
+        if cache is not None:
+            self._device_data_bytes -= cache.nbytes
+            cache.delete()
 
     def _get_step(self, statics: StepStatics):
         key = (statics.phase, statics.mask_prune_active, statics.has_ood,
@@ -316,10 +358,31 @@ class Trainer:
                 times["put"] += time.perf_counter() - t0    # worker thread; GIL-safe
                 return out
 
+        # device-resident dataset: per-step H2D is a (B,) index vector, the
+        # device gathers the uint8 bases itself (data/device_cache.py).  The
+        # OOD stream keeps the materializing path (its images come from a
+        # second loader and concatenate host-side).
+        cache = (self.device_cache_for(loader) if ood_loader is None else None)
+
         def host_gen():
             """Everything up to the H2D put, host-side: loader pull, OOD
             concat, mesh-divisibility trim, per-step scalars."""
             t_mark = time.perf_counter()
+            if cache is not None:
+                for i, (rows, ys) in enumerate(loader.epoch_index_batches(epoch)):
+                    if timing:
+                        t_now = time.perf_counter()
+                        times["wait"] += t_now - t_mark
+                    scalars = Scalars.make(
+                        net_t=net_t0 + i,
+                        net_T=max(net_T, 1),
+                        epoch_frac=(epoch - 1) + i / max(iters, 1),
+                        align_pf_weight=align_pf_w,
+                        tanh_weight=tanh_w)
+                    yield put, (rows, None, ys), (scalars, len(ys))
+                    if timing:
+                        t_mark = time.perf_counter()
+                return
             for i, batch in enumerate(loader.epoch(epoch)):
                 if timing:
                     t_now = time.perf_counter()
@@ -359,12 +422,22 @@ class Trainer:
                                      f"epoch_{epoch}")
         tracing = False
 
+        # Bound host run-ahead: jit dispatch is async, so the host can queue
+        # an entire epoch of steps while the device crunches — every queued
+        # step pins its uint8 batch staging buffers host-side (~40 MB each on
+        # the tunneled backend; a 190-class run measured multi-GB/min RSS
+        # growth).  A scalar fetch every K steps caps the pipeline at K
+        # in-flight steps for ~25 ms tunnel RTT per fence (<1% at K=16).
+        inflight = int(os.environ.get("PIPNET_INFLIGHT_STEPS", "16") or 0)
+
         t_mark = time.perf_counter()
         for (xs1d, xs2d, ysd), (scalars, nrows) in _put_prefetch(host_gen()):
             if timing:
                 t_now = time.perf_counter()
                 times["qwait"] += t_now - t_mark
                 t_mark = t_now
+            if cache is not None:
+                xs1d = cache.gather(xs1d)      # index vector -> uint8 bases
             if acc is None:
                 # zero totals in the step's own metric structure (host-side
                 # shapes only; the zeros ship with the first dispatch)
@@ -385,6 +458,10 @@ class Trainer:
             self.state, acc = step(self.state, xs1d, xs2d, ysd, scalars, acc)
             n_steps += 1
             n_images += nrows
+            if inflight and n_steps % inflight == 0:
+                # real scalar fetch — block_until_ready is unreliable over
+                # the tunneled backend (BENCH_NOTES)
+                np.asarray(jax.device_get(acc["loss"]))
             if trace_dir is not None:
                 # fences are real scalar fetches — block_until_ready is
                 # unreliable over the tunneled backend (BENCH_NOTES)
@@ -433,6 +510,18 @@ class Trainer:
         info["fine_accuracy"] = fine_correct / max(n_fine, 1)
         info["images_per_sec"] = n_images / max(wall, 1e-9)
         info["epoch_seconds"] = wall
+        # host-memory telemetry: a leak (pinned staging buffers, runaway
+        # live arrays) shows up in the metrics trail instead of as a
+        # mystery OOM hours in
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        info["host_rss_mb"] = float(line.split()[1]) / 1024.0
+                        break
+        except OSError:
+            pass
+        info["live_arrays"] = float(len(jax.live_arrays()))
         info["net_t_end"] = net_t0 + n_steps
         with np.errstate(invalid="ignore"):
             info["node_accuracy"] = np.where(node_examples > 0,
@@ -482,6 +571,9 @@ class Trainer:
         if n_pre > 0:
             save_checkpoint(self.log.checkpoint_dir, "net_pretrained", self.state,
                             epoch=0, phase="pretrained")
+            # the pretrain loader's device-resident bases (resize_to differs
+            # from the train loader's) are dead weight from here — free HBM
+            self.drop_device_cache(self.loaders.train_pretraining)
 
         # phase 2: fresh optimizer + schedulers (main.py:501-507)
         if start_epoch == 0:
@@ -604,10 +696,19 @@ class Trainer:
         else:
             subs = np.asarray(jax.random.split(jax.random.PRNGKey(0),
                                                max(len(loader), 1)))
-        for i, batch in enumerate(loader.epoch(0)):
-            acc = count_batch(self.state.params, self.state.batch_stats,
-                              jnp.asarray(batch.xs1), jnp.asarray(batch.ys),
-                              subs[min(i, len(subs) - 1)], acc)
+        cache = self.device_cache_for(loader)
+        if cache is not None:
+            # device-resident test set: gather + normalize on device, the
+            # H2D per batch is the index vector (data/device_cache.py)
+            for i, (rows, ys) in enumerate(loader.epoch_index_batches(0)):
+                acc = count_batch(self.state.params, self.state.batch_stats,
+                                  cache.fetch(rows), jnp.asarray(ys),
+                                  subs[min(i, len(subs) - 1)], acc)
+        else:
+            for i, batch in enumerate(loader.epoch(0)):
+                acc = count_batch(self.state.params, self.state.batch_stats,
+                                  jnp.asarray(batch.xs1), jnp.asarray(batch.ys),
+                                  subs[min(i, len(subs) - 1)], acc)
         top1, top5, n = (int(v) for v in jax.device_get(acc))
         return {"top1": top1 / max(n, 1), "top5": top5 / max(n, 1), "n": n}
 
