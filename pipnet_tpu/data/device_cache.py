@@ -46,16 +46,28 @@ class DeviceDataCache:
         (gather + ImageNet normalize fused in one jitted fn on device).
     """
 
-    def __init__(self, array_host: np.ndarray, kind: str):
+    def __init__(self, array_host: np.ndarray, kind: str, mesh=None):
         import jax
         import jax.numpy as jnp
 
         self.kind = kind
         self.nbytes = int(array_host.nbytes)
-        self.array = jax.device_put(array_host)
+        if mesh is not None and mesh.devices.size > 1:
+            # multi-device: replicate the base array across the mesh; the
+            # index vector arrives sharded on the data axis, so each device
+            # gathers only ITS batch shard from its local replica and the
+            # gathered batch comes out data-sharded — no collective needed
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+            self.array = jax.device_put(array_host, rep)
+            out = NamedSharding(mesh, P("data"))
+            kw = dict(in_shardings=(rep, out), out_shardings=out)
+        else:
+            self.array = jax.device_put(array_host)
+            kw = {}
 
         if kind == "u8base":
-            self._fetch = jax.jit(lambda d, i: d[i])
+            self._fetch = jax.jit(lambda d, i: d[i], **kw)
         else:
             mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
             std = jnp.asarray(IMAGENET_STD, jnp.float32)
@@ -64,7 +76,7 @@ class DeviceDataCache:
                 x = d[i].astype(jnp.float32) / 255.0
                 return (x - mean) / std
 
-            self._fetch = jax.jit(_norm)
+            self._fetch = jax.jit(_norm, **kw)
 
     def fetch(self, rows: np.ndarray):
         """Device batch for host index rows (a tiny H2D + one device gather)."""
@@ -97,17 +109,18 @@ def estimate_bytes(dataset) -> Optional[int]:
     return None
 
 
-def build_device_cache(loader: Loader) -> Optional[DeviceDataCache]:
+def build_device_cache(loader: Loader, mesh=None) -> Optional[DeviceDataCache]:
     """Materialize the device cache for ``loader``'s dataset, or None when the
     dataset kind does not support it.  Budget/enable gating is the caller's
-    job (train/trainer.py applies PIPNET_DEVICE_DATA / PIPNET_DEVICE_CACHE_MB
-    and restricts to single-device meshes)."""
+    job (train/trainer.py applies PIPNET_DEVICE_DATA / PIPNET_DEVICE_CACHE_MB).
+    With a multi-device ``mesh`` the array replicates across it and gathers
+    stay local per data shard."""
     ds = loader.dataset
     if isinstance(ds, TwoViewDataset) and ds.device_geometric:
         base = np.stack([ds._base(i) for i in range(len(ds))])
-        return DeviceDataCache(base, "u8base")
+        return DeviceDataCache(base, "u8base", mesh=mesh)
     if isinstance(ds, EvalDataset):
         base = np.stack([ds.transform.base_view(ds.folder.load(i)[0])
                          for i in range(len(ds))])
-        return DeviceDataCache(base, "eval")
+        return DeviceDataCache(base, "eval", mesh=mesh)
     return None

@@ -216,17 +216,18 @@ class Trainer:
                 and int(dict(self.mesh.shape).get("data", 1)) > 1)
 
     # -- device-resident data ------------------------------------------------
-    def device_cache_for(self, loader):
+    def device_cache_for(self, loader, *, multi_ok: bool = True):
         """The device-resident data cache for ``loader``'s dataset, building
         it on first use; None when gated off.  Gates: PIPNET_DEVICE_DATA=0
         disables; total cached bytes capped by PIPNET_DEVICE_CACHE_MB
-        (default 6144); single-device meshes only (a sharded gather would
-        need the array replicated or index-sharded per device — stream the
-        batches instead, real pods don't pay the tunnel's put retention)."""
+        (default 6144, PER DEVICE — the array replicates across a
+        multi-device mesh so each data shard gathers locally).
+        ``multi_ok=False`` restricts to single-device meshes (eval batches
+        are not trimmed to the data axis, so an uneven tail can't shard)."""
         import os
         if os.environ.get("PIPNET_DEVICE_DATA", "1") == "0":
             return None
-        if self.mesh.devices.size > 1:
+        if self.mesh.devices.size > 1 and not multi_ok:
             return None
         key = id(loader.dataset)
         if key in self._device_data:
@@ -236,7 +237,8 @@ class Trainer:
         est = estimate_bytes(loader.dataset)
         cache = None
         if est is not None and self._device_data_bytes + est <= budget:
-            cache = build_device_cache(loader)
+            cache = build_device_cache(
+                loader, mesh=self.mesh if self.mesh.devices.size > 1 else None)
             if cache is not None:
                 self._device_data_bytes += cache.nbytes
                 print(f"device data cache: {cache.kind} "
@@ -373,6 +375,11 @@ class Trainer:
                     if timing:
                         t_now = time.perf_counter()
                         times["wait"] += t_now - t_mark
+                    if n_shards > 1 and len(ys) % n_shards:
+                        keep = len(ys) - (len(ys) % n_shards)
+                        if keep == 0:
+                            continue
+                        rows, ys = rows[:keep], ys[:keep]
                     scalars = Scalars.make(
                         net_t=net_t0 + i,
                         net_T=max(net_T, 1),
@@ -696,7 +703,7 @@ class Trainer:
         else:
             subs = np.asarray(jax.random.split(jax.random.PRNGKey(0),
                                                max(len(loader), 1)))
-        cache = self.device_cache_for(loader)
+        cache = self.device_cache_for(loader, multi_ok=False)
         if cache is not None:
             # device-resident test set: gather + normalize on device, the
             # H2D per batch is the index vector (data/device_cache.py)

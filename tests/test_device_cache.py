@@ -114,3 +114,41 @@ class TestTrainerParity:
         assert results["0"][0] == pytest.approx(results["1"][0], rel=1e-6)
         jax.tree.map(np.testing.assert_array_equal,
                      results["0"][1], results["1"][1])
+
+    def test_multidevice_mesh_params_identical(self, synth, tmp_path,
+                                               monkeypatch):
+        """On a 4-device data mesh the cache replicates and each shard
+        gathers locally — params must match the streamed 4-device run."""
+        from pipnet_tpu.models import build_pipnet
+        from pipnet_tpu.train.trainer import Trainer
+        from pipnet_tpu.tree import build_tree_from_config
+
+        _, _, phy = synth
+        root = build_tree_from_config(phy, None)
+        mcfg = ModelConfig(backbone="convnext_tiny_26", image_size=48,
+                           num_protos_per_child=3,
+                           head=HeadConfig(softmax_tau=1.0, protopool=False))
+        cfg = RunConfig(model=mcfg, train=TrainConfig(
+            batch_size=4, batch_size_pretrain=4, epochs=1, epochs_pretrain=0,
+            epochs_finetune=0, epochs_finetune_classifier=0, freeze_epochs=0,
+            seed=1, data_parallel=4, optim=OptimConfig(),
+            loss=LossConfig(align=True, uni=False, tanh=True,
+                            weighted_ce=False)),
+            log_dir=str(tmp_path / "run"))
+        model, tree = build_pipnet(root, mcfg)
+
+        results = {}
+        for flag in ("0", "1"):
+            monkeypatch.setenv("PIPNET_DEVICE_DATA", flag)
+            loaders = _loaders(synth)
+            trainer = Trainer(model, tree, cfg, loaders)
+            assert trainer.mesh.devices.size == 4
+            trainer.init_state(48)
+            info = trainer.run_epoch(1, pretrain=False, net_t0=0, net_T=6,
+                                     loader=loaders.train)
+            assert np.isfinite(info["loss"])
+            results[flag] = (info["loss"],
+                             jax.device_get(trainer.state.params))
+        assert results["0"][0] == pytest.approx(results["1"][0], rel=1e-6)
+        jax.tree.map(np.testing.assert_array_equal,
+                     results["0"][1], results["1"][1])
