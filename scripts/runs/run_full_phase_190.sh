@@ -9,17 +9,23 @@
 # exercised post-hoc via the evaluate CLI decode short-circuit.)
 #
 # Collapse-safe recipe (all measured on this dataset family):
-# - classifier lr 0.003: with 0.01 (and 0.05) the T_0=10 warm RESTART kills
-#   a random-init run — training is stable at lr~0.01 mid-period (loss
-#   4.6 -> 3.0 over train epochs 5-10), then the epoch-11 restart explodes
-#   it (2.97 -> 104 -> 141, prototypes dead).  The lethal part is the
-#   DISCONTINUITY, not the magnitude: after the low-lr tail Adam's second
-#   moments are stale-small, so the lr jump produces huge effective steps;
-#   the -log(tanh(pooled)+EPS) terms then blow up as prototypes stop
-#   activating (same math as the reference, pipnet/train.py:1108-1123 —
-#   which always starts from ImageNet weights and never runs this regime).
+# - classifier lr 0.001 == the warm-restart schedule's eta_min (main.py:505
+#   in the reference), which makes the cosine FLAT and the T_0=10 restarts
+#   no-ops.  Measured escalation that forced this: training is stable at
+#   lr~0.01 mid-period (loss 4.6 -> 3.0 over train epochs 5-10), then the
+#   epoch-11 restart explodes it (2.97 -> 141, prototypes dead); lr 0.003
+#   (a 3x restart jump from eta_min) merely delays death by one epoch
+#   (3.0 -> 3.88 -> 132).  Mechanism: after the low-lr tail Adam's second
+#   moments are stale-small, the restart produces outsized classifier/
+#   feature shifts, some prototypes stop activating anywhere, and the
+#   -log(tanh(pooled)+EPS) terms (EPS=1e-12 under min_contrast's rebinding
+#   quirk) enter a gradient spiral — same math as the reference,
+#   pipnet/train.py:1108-1123, which always starts from ImageNet weights
+#   and never runs the random-init regime this sandbox is stuck in.
 # - backbone/block lr 1e-4 and 48 imgs/class (with 5e-4 / 24 imgs/class
 #   the first FULL-unfreeze epoch blows the tanh terms up the same way).
+# - 12 pretrain epochs (cheap: ~25 s each with the device-resident data
+#   cache) for stronger prototype alignment before classification.
 # checkpoint_every 5: the tunneled backend's device->host fetch can
 # degrade to ~8 MB/s, making the reference's every-epoch ~400 MB save
 # the bottleneck (and once, a wedged fetch hung the run mid-save).
@@ -33,10 +39,10 @@ python -m pipnet_tpu.main \
   --dataset synthetic:190:48 \
   --net convnext_tiny_26 \
   --batch_size 64 --batch_size_pretrain 96 \
-  --epochs 40 --epochs_pretrain 8 \
+  --epochs 40 --epochs_pretrain 12 \
   --epochs_finetune_classifier 2 --epochs_finetune 4 \
   --epochs_finetune_mask_prune 34 --freeze_epochs 8 \
-  --lr 0.003 --lr_block 0.0001 --lr_net 0.0001 \
+  --lr 0.001 --lr_block 0.0001 --lr_net 0.0001 \
   --image_size 224 --seed 1 \
   --kernel_orth y --num_protos_per_descendant 0 --num_protos_per_child 10 \
   --align n --uni n --align_pf y --tanh y --tanh_desc 'y|0.05' \
