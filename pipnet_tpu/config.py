@@ -97,6 +97,15 @@ class OptimConfig:
     lr_net: float = 0.0005               # deep backbone
     weight_decay: float = 0.0
     optimizer: str = "adamw"
+    # Global-norm gradient clipping; 0 = off (the reference never clips,
+    # and its -log(tanh(pooled)+EPS) terms can NaN a run — it raises on
+    # that, pipnet/train.py:1126-1128, rather than guarding.  Training
+    # from RANDOM init (no ImageNet checkpoint reachable in this sandbox)
+    # needs a bound: every lr/phase discontinuity (classifier warm
+    # restart, full backbone unfreeze) can zero some prototypes, after
+    # which the ~1/pooled tanh gradients spiral.  Clipping bounds the
+    # shock so the recovery pressure -log(tanh) exerts can act.)
+    clip_grad: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -254,6 +263,7 @@ def from_reference_flags(args) -> RunConfig:
         lr_block=float(get("lr_block", 0.0005)),
         lr_net=float(get("lr_net", 0.0005)),
         weight_decay=float(get("weight_decay", 0.0)),
+        clip_grad=float(get("clip_grad", 0.0)),
     )
 
     train = TrainConfig(

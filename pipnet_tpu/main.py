@@ -38,6 +38,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     add("--lr_block", type=float, default=0.0005)
     add("--lr_net", type=float, default=0.0005)
     add("--weight_decay", type=float, default=0.0)
+    # NOT in the reference (which never clips and NaN-raises instead,
+    # pipnet/train.py:1126-1128); needed to train from random init — see
+    # OptimConfig.clip_grad.  0 disables (default = reference behavior).
+    add("--clip_grad", type=float, default=0.0)
     add("--log_dir", type=str, default="./runs/run_pipnet")
     add("--num_features", type=int, default=0)
     add("--image_size", type=int, default=224)

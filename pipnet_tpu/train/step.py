@@ -248,6 +248,17 @@ def make_train_step(model: PIPNet, tree: TreeArrays, cfg: RunConfig,
         (loss, (aux, out, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
 
+        grad_norm = None
+        if ocfg.clip_grad > 0.0:
+            # global-norm clipping over the trainable leaves (_prune zeroes
+            # the rest); see OptimConfig.clip_grad for why this exists
+            grad_norm = jnp.sqrt(sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree_util.tree_leaves(grads)))
+            scale = jnp.minimum(1.0, ocfg.clip_grad / (grad_norm + 1e-12))
+            grads = jax.tree_util.tree_map(lambda g: g * scale.astype(g.dtype),
+                                           grads)
+
         labels = _labels
 
         def net_lr(base):
@@ -289,6 +300,8 @@ def make_train_step(model: PIPNet, tree: TreeArrays, cfg: RunConfig,
 
         metrics = {"loss": loss, "fine_correct": fine_correct, "n_fine": n_fine,
                    "node_correct": node_correct, "node_examples": node_examples}
+        if grad_norm is not None:
+            metrics["grad_norm"] = grad_norm   # pre-clip; epoch-averaged
         for k, v in aux.items():
             if v.ndim == 0:
                 metrics[f"loss/{k}"] = v

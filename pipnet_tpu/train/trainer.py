@@ -500,6 +500,15 @@ class Trainer:
                   f"wait={times['wait']*1e3:.0f}ms put={times['put']*1e3:.0f}ms "
                   f"qwait={qw*1e3:.0f}ms "
                   f"dispatch={times['disp']*1e3:.0f}ms", flush=True)
+        if acc is None:
+            # every batch trimmed away (e.g. batch_size < data-parallel
+            # shards) or an empty loader — fail loudly, not with a KeyError
+            # three frames up
+            raise ValueError(
+                f"epoch {epoch}: 0 training steps ran ({n_images} images "
+                f"from {len(loader)} batches survived sharding-alignment "
+                f"trimming; batch_size must be >= the data-parallel shard "
+                f"count and the loader non-empty)")
         if acc is not None:
             metrics = jax.device_get(acc)
             fine_correct += int(metrics.pop("fine_correct"))

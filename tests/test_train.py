@@ -306,6 +306,71 @@ class TestResNetPruneDriver:
         assert 0.0 <= pp["mean_max_purity"] <= 1.0
 
 
+class TestClipGrad:
+    def test_clip_bounds_update(self):
+        """--clip_grad bounds the global update magnitude: with an
+        aggressive clip the post-step parameter delta shrinks vs unclipped,
+        and the reported grad_norm metric is finite and positive.  (Not in
+        the reference — see OptimConfig.clip_grad for the rationale.)"""
+        import dataclasses
+        from pipnet_tpu.config import (HeadConfig, LossConfig, ModelConfig,
+                                       OptimConfig, RunConfig, TrainConfig)
+        from pipnet_tpu.models import build_pipnet
+        from pipnet_tpu.train import (Scalars, StepStatics, init_train_state,
+                                      make_train_step, phase_for_epoch)
+        from pipnet_tpu.tree import Phylogeny, construct_phylo_tree
+        from pipnet_tpu.data.synthetic import (make_synthetic_newick,
+                                               synthetic_class_names)
+        rng = np.random.default_rng(0)
+        names = synthetic_class_names(4)
+        phylo = Phylogeny(newick=make_synthetic_newick(names, rng))
+        root = construct_phylo_tree(phylo=phylo)
+        root.assign_all_descendents()
+        mcfg = ModelConfig(backbone="convnext_tiny_26", image_size=48,
+                           num_protos_per_child=4,
+                           head=HeadConfig(softmax_tau=1.0, protopool=False))
+        model, tree = build_pipnet(root, mcfg)
+        xs1 = jnp.asarray(rng.standard_normal((4, 48, 48, 3)), jnp.float32)
+        xs2 = jnp.asarray(rng.standard_normal((4, 48, 48, 3)), jnp.float32)
+        ys = jnp.asarray(rng.integers(0, 4, 4))
+        sc = Scalars.make(net_t=0, net_T=100, epoch_frac=0,
+                          align_pf_weight=0.5, tanh_weight=5.0)
+
+        def run(clip):
+            cfg = RunConfig(model=mcfg, train=TrainConfig(
+                batch_size=4, optim=OptimConfig(clip_grad=clip),
+                loss=LossConfig(align=True, uni=True, tanh=True,
+                                tanh_desc=False)))
+            phase = phase_for_epoch(20, cfg.train, pretrain=False)
+            step = jax.jit(make_train_step(model, tree, cfg,
+                                           StepStatics(phase=phase,
+                                                       eta_min_net=5e-6)))
+            state = init_train_state(model, jax.random.PRNGKey(0),
+                                     jnp.zeros((2, 48, 48, 3)))
+            new_state, metrics = step(state, xs1, xs2, ys, sc)
+            return new_state.params, metrics
+
+        def max_diff(pa, pb):
+            d = jax.tree.map(
+                lambda a, b: float(np.abs(np.asarray(a, np.float32)
+                                          - np.asarray(b, np.float32)).max()),
+                pa, pb)
+            return max(jax.tree.leaves(d))
+
+        p_off, m_off = run(0.0)
+        assert "grad_norm" not in m_off          # off = reference behavior
+        p_loose, m_loose = run(1e9)
+        gn = float(m_loose["grad_norm"])
+        assert np.isfinite(gn) and 0.0 < gn < 1e9
+        # clip above the actual norm -> scale 1 -> identical step
+        assert max_diff(p_off, p_loose) == 0.0
+        # tiny clip engages (norm > limit) and changes the step: Adam's
+        # eps floor breaks first-step scale invariance for small grads
+        p_tiny, m_tiny = run(1e-6)
+        assert float(m_tiny["grad_norm"]) > 1e-6
+        assert max_diff(p_off, p_tiny) > 0.0
+
+
 @pytest.mark.slow
 class TestBYOL:
     def test_byol_step(self, tmp_path):
