@@ -9,21 +9,22 @@
 # exercised post-hoc via the evaluate CLI decode short-circuit.)
 #
 # Collapse-safe recipe (all measured on this dataset family):
-# - classifier lr 0.001 == the warm-restart schedule's eta_min (main.py:505
-#   in the reference), which makes the cosine FLAT and the T_0=10 restarts
-#   no-ops.  Measured escalation that forced this: training is stable at
-#   lr~0.01 mid-period (loss 4.6 -> 3.0 over train epochs 5-10), then the
-#   epoch-11 restart explodes it (2.97 -> 141, prototypes dead); lr 0.003
-#   (a 3x restart jump from eta_min) merely delays death by one epoch
-#   (3.0 -> 3.88 -> 132).  Mechanism: after the low-lr tail Adam's second
-#   moments are stale-small, the restart produces outsized classifier/
-#   feature shifts, some prototypes stop activating anywhere, and the
-#   -log(tanh(pooled)+EPS) terms (EPS=1e-12 under min_contrast's rebinding
-#   quirk) enter a gradient spiral — same math as the reference,
-#   pipnet/train.py:1108-1123, which always starts from ImageNet weights
-#   and never runs the random-init regime this sandbox is stuck in.
+# - --clip_grad 2.0: the load-bearing guard.  Without it, EVERY lr/phase
+#   discontinuity kills a random-init run — measured three ways: classifier
+#   warm restart at lr 0.01 (loss 2.97 -> 141 at the T_0=10 restart) and at
+#   lr 0.003 (3.0 -> 3.88 -> 132, one epoch later); the FULL backbone
+#   unfreeze even at flat classifier lr 0.001 == eta_min (11.6 -> 138 at
+#   train epoch 9).  Mechanism: the discontinuity produces outsized steps
+#   (measured grad_norm ~0.4 steady vs ~11 at a transition), some
+#   prototypes stop activating anywhere, and the -log(tanh(pooled)+EPS)
+#   gradients (~1/pooled; EPS=1e-12 under min_contrast's rebinding quirk)
+#   spiral — same math as the reference, pipnet/train.py:1108-1123, which
+#   always starts from ImageNet weights and never sees the random-init
+#   regime this sandbox is stuck in (and raises on the NaN rather than
+#   guarding, pipnet/train.py:1126-1128).  Clipping bounds the shock so
+#   the recovery pressure the tanh terms exert can act.
 # - backbone/block lr 1e-4 and 48 imgs/class (with 5e-4 / 24 imgs/class
-#   the first FULL-unfreeze epoch blows the tanh terms up the same way).
+#   the first FULL-unfreeze epoch blows up even harder).
 # - 12 pretrain epochs (cheap: ~25 s each with the device-resident data
 #   cache) for stronger prototype alignment before classification.
 # checkpoint_every 5: the tunneled backend's device->host fetch can
@@ -42,7 +43,7 @@ python -m pipnet_tpu.main \
   --epochs 40 --epochs_pretrain 12 \
   --epochs_finetune_classifier 2 --epochs_finetune 4 \
   --epochs_finetune_mask_prune 34 --freeze_epochs 8 \
-  --lr 0.001 --lr_block 0.0001 --lr_net 0.0001 \
+  --lr 0.01 --lr_block 0.0001 --lr_net 0.0001 --clip_grad 2.0 \
   --image_size 224 --seed 1 \
   --kernel_orth y --num_protos_per_descendant 0 --num_protos_per_child 10 \
   --align n --uni n --align_pf y --tanh y --tanh_desc 'y|0.05' \
