@@ -9,20 +9,25 @@
 # exercised post-hoc via the evaluate CLI decode short-circuit.)
 #
 # Collapse-safe recipe (all measured on this dataset family):
-# - --clip_grad 2.0: the load-bearing guard.  Without it, EVERY lr/phase
-#   discontinuity kills a random-init run — measured three ways: classifier
-#   warm restart at lr 0.01 (loss 2.97 -> 141 at the T_0=10 restart) and at
-#   lr 0.003 (3.0 -> 3.88 -> 132, one epoch later); the FULL backbone
-#   unfreeze even at flat classifier lr 0.001 == eta_min (11.6 -> 138 at
-#   train epoch 9).  Mechanism: the discontinuity produces outsized steps
-#   (measured grad_norm ~0.4 steady vs ~11 at a transition), some
-#   prototypes stop activating anywhere, and the -log(tanh(pooled)+EPS)
-#   gradients (~1/pooled; EPS=1e-12 under min_contrast's rebinding quirk)
-#   spiral — same math as the reference, pipnet/train.py:1108-1123, which
-#   always starts from ImageNet weights and never sees the random-init
-#   regime this sandbox is stuck in (and raises on the NaN rather than
-#   guarding, pipnet/train.py:1126-1128).  Clipping bounds the shock so
-#   the recovery pressure the tanh terms exert can act.
+# - --clip_grad 2.0 + flat classifier lr 0.001 (== the schedule's
+#   eta_min, so the cosine warm restarts are value-identical no-ops):
+#   one guard per measured failure mode.  EVERY lr/phase discontinuity
+#   kills a random-init run — measured four ways: classifier warm
+#   restart at lr 0.01 (loss 2.97 -> 141 at the T_0=10 restart), at
+#   lr 0.003 (3.0 -> 3.88 -> 132, one epoch later), at lr 0.01 WITH
+#   clip 2.0 (3.05 -> 66 -> 138: raw grad_norm 158 at the restart —
+#   clipping bounds each step but a whole epoch of misdirected clipped
+#   steps still kills it); and the FULL backbone unfreeze at flat
+#   classifier lr but NO clip (11.6 -> 138 at train epoch 9).  With
+#   clip 2.0 the unfreeze transition survives (measured: grad 2.15,
+#   accuracy kept climbing), so the flat classifier removes the one
+#   remaining discontinuity.  Mechanism: the shock makes some
+#   prototypes stop activating anywhere and the -log(tanh(pooled)+EPS)
+#   gradients (~1/pooled; EPS=1e-12 under min_contrast's rebinding
+#   quirk) spiral — same math as the reference, pipnet/train.py:1108-1123,
+#   which always starts from ImageNet weights and never sees the
+#   random-init regime this sandbox is stuck in (and raises on the NaN
+#   rather than guarding, pipnet/train.py:1126-1128).
 # - backbone/block lr 1e-4 and 48 imgs/class (with 5e-4 / 24 imgs/class
 #   the first FULL-unfreeze epoch blows up even harder).
 # - 12 pretrain epochs (cheap: ~25 s each with the device-resident data
@@ -43,7 +48,7 @@ python -m pipnet_tpu.main \
   --epochs 40 --epochs_pretrain 12 \
   --epochs_finetune_classifier 2 --epochs_finetune 4 \
   --epochs_finetune_mask_prune 34 --freeze_epochs 8 \
-  --lr 0.01 --lr_block 0.0001 --lr_net 0.0001 --clip_grad 2.0 \
+  --lr 0.001 --lr_block 0.0001 --lr_net 0.0001 --clip_grad 2.0 \
   --image_size 224 --seed 1 \
   --kernel_orth y --num_protos_per_descendant 0 --num_protos_per_child 10 \
   --align n --uni n --align_pf y --tanh y --tanh_desc 'y|0.05' \
