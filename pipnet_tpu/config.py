@@ -106,6 +106,18 @@ class OptimConfig:
     # which the ~1/pooled tanh gradients spiral.  Clipping bounds the
     # shock so the recovery pressure -log(tanh) exerts can act.)
     clip_grad: float = 0.0
+    # Linear lr warmup (in epochs) for the DEEP-BACKBONE group after the
+    # freeze_epochs unfreeze; 0 = off (the reference has none — it always
+    # starts from ImageNet weights, main.py:289-348, so the unfreeze is
+    # gentle there).  Why it exists here: at the unfreeze the backbone's
+    # Adam moments are FRESH, and bias-corrected Adam moves every
+    # parameter ~lr per step regardless of gradient magnitude — one full
+    # epoch of that (measured: healthy grad 2.1 at the unfreeze epoch,
+    # raw grad 59 -> 100 one epoch later, align_pf 0.23 -> 19, run dead)
+    # destroys the pretrained-in-run features even under clip_grad.
+    # Ramping the backbone lr 0 -> lr_net over a few epochs lets the
+    # moments calibrate before the steps reach full size.
+    unfreeze_warmup_epochs: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -264,6 +276,7 @@ def from_reference_flags(args) -> RunConfig:
         lr_net=float(get("lr_net", 0.0005)),
         weight_decay=float(get("weight_decay", 0.0)),
         clip_grad=float(get("clip_grad", 0.0)),
+        unfreeze_warmup_epochs=float(get("unfreeze_warmup_epochs", 0.0)),
     )
 
     train = TrainConfig(

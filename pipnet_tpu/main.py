@@ -42,6 +42,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # pipnet/train.py:1126-1128); needed to train from random init — see
     # OptimConfig.clip_grad.  0 disables (default = reference behavior).
     add("--clip_grad", type=float, default=0.0)
+    # NOT in the reference either (same random-init rationale): linear lr
+    # warmup for the deep-backbone group over N epochs after the
+    # freeze_epochs unfreeze — see OptimConfig.unfreeze_warmup_epochs.
+    add("--unfreeze_warmup_epochs", type=float, default=0.0)
     add("--log_dir", type=str, default="./runs/run_pipnet")
     add("--num_features", type=int, default=0)
     add("--image_size", type=int, default=224)

@@ -229,7 +229,8 @@ def group_trainable(group: str, phase: Phase) -> bool:
 
 
 def masks_and_lrs(labels: PyTree, phase: Phase, cfg: OptimConfig,
-                  net_factor, cls_factor) -> Tuple[PyTree, PyTree]:
+                  net_factor, cls_factor,
+                  backbone_factor=None) -> Tuple[PyTree, PyTree]:
     """Per-leaf (mask, lr) trees for one step.
 
     ``net_factor``/``cls_factor`` are traced scalars in [0,1]-ish produced by
@@ -237,6 +238,10 @@ def masks_and_lrs(labels: PyTree, phase: Phase, cfg: OptimConfig,
     warm-restart lr.  The torch schedulers anneal each group's base lr toward
     a shared eta_min, so factors here are (lr_now / base_lr) computed by the
     caller per optimizer with base = the group base; we pass absolute lrs.
+
+    ``backbone_factor`` (optional) overrides ``net_factor`` for the deep
+    'backbone' group only — used by OptimConfig.unfreeze_warmup_epochs to
+    ramp the just-unfrozen backbone lr from zero.
     """
     lrs = base_lrs(cfg)
 
@@ -246,6 +251,8 @@ def masks_and_lrs(labels: PyTree, phase: Phase, cfg: OptimConfig,
     def to_lr(label):
         opt = GROUP_TO_OPT.get(label)
         if opt == "net":
+            if label == "backbone" and backbone_factor is not None:
+                return backbone_factor(lrs[label])
             return net_factor(lrs[label])
         if opt == "cls":
             return cls_factor(lrs[label])

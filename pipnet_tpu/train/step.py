@@ -49,6 +49,13 @@ class StepStatics:
     eta_min_net: float = 0.0
     t0_cls: float = 5.0
     weight_reactivation: bool = False
+    # OptimConfig.unfreeze_warmup_epochs, converted to the net_t step axis
+    # by the trainer: backbone-group lr ramps linearly from 0 at net_t ==
+    # backbone_warmup_t0 to the scheduled lr over backbone_warmup_steps
+    # steps.  0 steps = off.  Static: constant for a whole run, so it does
+    # not add recompiles beyond the existing per-phase ones.
+    backbone_warmup_t0: float = 0.0
+    backbone_warmup_steps: float = 0.0
 
 
 class Scalars(NamedTuple):
@@ -267,7 +274,16 @@ def make_train_step(model: PIPNet, tree: TreeArrays, cfg: RunConfig,
         def cls_lr(base):
             return cosine_warm_restarts(base, 1e-3, scalars.epoch_frac, statics.t0_cls)
 
-        mask, lr = masks_and_lrs(labels, ph, ocfg, net_lr, cls_lr)
+        backbone_lr = None
+        if statics.backbone_warmup_steps > 0:
+            def backbone_lr(base):  # noqa: E306 — unfreeze warmup ramp
+                ramp = jnp.clip(
+                    (scalars.net_t - statics.backbone_warmup_t0)
+                    / statics.backbone_warmup_steps, 0.0, 1.0)
+                return net_lr(base) * ramp
+
+        mask, lr = masks_and_lrs(labels, ph, ocfg, net_lr, cls_lr,
+                                 backbone_factor=backbone_lr)
         new_params, new_opt = adam_update(state.params, grads, state.opt, lr, mask,
                                           weight_decay=ocfg.weight_decay)
 

@@ -257,7 +257,8 @@ class Trainer:
 
     def _get_step(self, statics: StepStatics):
         key = (statics.phase, statics.mask_prune_active, statics.has_ood,
-               statics.eta_min_net, statics.t0_cls, statics.weight_reactivation)
+               statics.eta_min_net, statics.t0_cls, statics.weight_reactivation,
+               statics.backbone_warmup_t0, statics.backbone_warmup_steps)
         if key not in self._step_cache:
             fn = make_train_step(self.model, self.tree, self.cfg, statics)
             # donate the state AND the metric accumulator (both round-trip)
@@ -282,6 +283,13 @@ class Trainer:
         phase = phase_for_epoch(epoch, cfg, pretrain=pretrain)
         mask_prune_active = (cfg.loss.mask_prune_overspecific and not pretrain
                              and epoch >= cfg.loss.mask_prune_start_epoch)
+        # unfreeze warmup (OptimConfig.unfreeze_warmup_epochs) on the net_t
+        # axis: net_t0 == (epoch-1)*len(loader) in the train phase, so the
+        # backbone becomes trainable at net_t == freeze_epochs*len(loader)
+        warm_t0 = warm_steps = 0.0
+        if cfg.optim.unfreeze_warmup_epochs > 0 and not pretrain:
+            warm_t0 = float(cfg.freeze_epochs * len(loader))
+            warm_steps = float(cfg.optim.unfreeze_warmup_epochs * len(loader))
         statics = StepStatics(
             phase=phase,
             mask_prune_active=mask_prune_active,
@@ -290,6 +298,8 @@ class Trainer:
                          else cfg.optim.lr_net / 100.0),
             t0_cls=5.0 if cfg.epochs <= 30 else 10.0,   # main.py:504-507
             weight_reactivation=cfg.weight_reactivation == "on",
+            backbone_warmup_t0=warm_t0,
+            backbone_warmup_steps=warm_steps,
         )
         step, raw_step = self._get_step(statics)
 

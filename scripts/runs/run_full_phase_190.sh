@@ -30,6 +30,17 @@
 #   rather than guarding, pipnet/train.py:1126-1128).
 # - backbone/block lr 1e-4 and 48 imgs/class (with 5e-4 / 24 imgs/class
 #   the first FULL-unfreeze epoch blows up even harder).
+# - --unfreeze_warmup_epochs 5: clip 2.0 alone got the unfreeze EPOCH
+#   through (grad 2.1, accuracy climbing) but the run still died one
+#   epoch later (measured: raw grad 59 -> 100 at train epoch 10,
+#   align_pf 0.23 -> 19, accuracy 4.2% -> 0.5%): at the unfreeze the
+#   backbone's Adam moments are fresh, and bias-corrected Adam moves
+#   every deep parameter ~lr_net per step regardless of gradient size —
+#   a whole epoch of that erases the learned features even with each
+#   step clipped.  Ramping the deep-backbone lr 0 -> lr_net over 5
+#   epochs lets the moments calibrate first (OptimConfig.
+#   unfreeze_warmup_epochs; not in the reference, which always starts
+#   from ImageNet weights).
 # - 12 pretrain epochs (cheap: ~25 s each with the device-resident data
 #   cache) for stronger prototype alignment before classification.
 # checkpoint_every 5: the tunneled backend's device->host fetch can
@@ -49,6 +60,7 @@ python -m pipnet_tpu.main \
   --epochs_finetune_classifier 2 --epochs_finetune 4 \
   --epochs_finetune_mask_prune 34 --freeze_epochs 8 \
   --lr 0.001 --lr_block 0.0001 --lr_net 0.0001 --clip_grad 2.0 \
+  --unfreeze_warmup_epochs 5 \
   --image_size 224 --seed 1 \
   --kernel_orth y --num_protos_per_descendant 0 --num_protos_per_child 10 \
   --align n --uni n --align_pf y --tanh y --tanh_desc 'y|0.05' \

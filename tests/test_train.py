@@ -371,6 +371,81 @@ class TestClipGrad:
         assert max_diff(p_off, p_tiny) > 0.0
 
 
+class TestUnfreezeWarmup:
+    def test_backbone_lr_ramp(self):
+        """--unfreeze_warmup_epochs ramps ONLY the deep-backbone group's lr
+        from 0 after the freeze_epochs unfreeze: at ramp 0 the stage2
+        ('backbone'-group) leaves do not move while 'train'/'add_on' leaves
+        do; past the ramp the step matches the no-warmup step exactly.
+        (Not in the reference — OptimConfig.unfreeze_warmup_epochs.)"""
+        from pipnet_tpu.config import (HeadConfig, LossConfig, ModelConfig,
+                                       OptimConfig, RunConfig, TrainConfig)
+        from pipnet_tpu.data.synthetic import (make_synthetic_newick,
+                                               synthetic_class_names)
+        from pipnet_tpu.models import build_pipnet
+        from pipnet_tpu.train import (Scalars, StepStatics, init_train_state,
+                                      make_train_step, phase_for_epoch)
+        from pipnet_tpu.tree import Phylogeny, construct_phylo_tree
+        rng = np.random.default_rng(0)
+        names = synthetic_class_names(4)
+        phylo = Phylogeny(newick=make_synthetic_newick(names, rng))
+        root = construct_phylo_tree(phylo=phylo)
+        root.assign_all_descendents()
+        mcfg = ModelConfig(backbone="convnext_tiny_26", image_size=48,
+                           num_protos_per_child=4,
+                           head=HeadConfig(softmax_tau=1.0, protopool=False))
+        model, tree = build_pipnet(root, mcfg)
+        xs1 = jnp.asarray(rng.standard_normal((4, 48, 48, 3)), jnp.float32)
+        xs2 = jnp.asarray(rng.standard_normal((4, 48, 48, 3)), jnp.float32)
+        ys = jnp.asarray(rng.integers(0, 4, 4))
+        cfg = RunConfig(model=mcfg, train=TrainConfig(
+            batch_size=4, optim=OptimConfig(),
+            loss=LossConfig(align=True, uni=True, tanh=True, tanh_desc=False)))
+        phase = phase_for_epoch(20, cfg.train, pretrain=False)
+        assert not phase.backbone_frozen
+
+        def run(net_t, *, warmup):
+            statics = StepStatics(phase=phase, eta_min_net=5e-6,
+                                  backbone_warmup_t0=10.0 if warmup else 0.0,
+                                  backbone_warmup_steps=10.0 if warmup else 0.0)
+            step = jax.jit(make_train_step(model, tree, cfg, statics))
+            state = init_train_state(model, jax.random.PRNGKey(0),
+                                     jnp.zeros((2, 48, 48, 3)))
+            sc = Scalars.make(net_t=net_t, net_T=100, epoch_frac=0,
+                              align_pf_weight=0.5, tanh_weight=5.0)
+            new_state, _ = step(state, xs1, xs2, ys, sc)
+            return state.params, new_state.params
+
+        def deltas(before, after, module_pred):
+            out = []
+            for name, sub in before["backbone"].items():
+                if module_pred(name):
+                    d = jax.tree.map(
+                        lambda a, b: float(np.abs(np.asarray(b, np.float32)
+                                                  - np.asarray(a, np.float32)).max()),
+                        sub, after["backbone"][name])
+                    out.extend(jax.tree.leaves(d))
+            return out
+
+        # ramp 0 at the unfreeze step: backbone group frozen, tail trains
+        p0, p1 = run(10.0, warmup=True)
+        assert max(deltas(p0, p1, lambda n: n.startswith("stage2"))) == 0.0
+        assert max(deltas(p0, p1, lambda n: n == "stage3_block2")) > 0.0
+
+        # past the ramp: identical to the no-warmup step
+        _, p_warm = run(25.0, warmup=True)
+        _, p_ref = run(25.0, warmup=False)
+        for a, b in zip(jax.tree.leaves(p_warm), jax.tree.leaves(p_ref)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # mid-ramp: backbone moves, but strictly less than at full lr
+        _, p_mid = run(15.0, warmup=True)
+        p0r, p_full = run(15.0, warmup=False)
+        mid = max(deltas(p0r, p_mid, lambda n: n.startswith("stage2")))
+        full = max(deltas(p0r, p_full, lambda n: n.startswith("stage2")))
+        assert 0.0 < mid < full
+
+
 @pytest.mark.slow
 class TestBYOL:
     def test_byol_step(self, tmp_path):
