@@ -88,6 +88,20 @@ class LossConfig:
     byol_tau_base: float = 0.9995
     byol_tau_max: float = 1.0
     minmaximize: bool = False
+    # Epsilon inside every -log(tanh(x)+eps) term (tanh + tanh_desc).
+    # None = reference-exact: 1e-8, rebound to 1e-12 whenever the
+    # min-contrast block runs first (pipnet/train.py:238,1024).  Why the
+    # override exists: d/dx[-log(tanh(x)+eps)] ~ -1/(x+eps), so a prototype
+    # whose in-batch pooled sum is ~0 contributes a gradient of up to
+    # 1/eps = 1e12 — harmless when the backbone starts from ImageNet
+    # weights (the reference's only regime) but fatal from random init:
+    # the measured 190-class collapse had tanh_desc ALREADY saturated at
+    # -log(1e-12)=27.6 per (child, leaf) before the unfreeze, and the
+    # resulting 5e8-magnitude gradient direction destroyed the backbone
+    # the moment it thawed (runs/full_phase_190 forensics).  Setting e.g.
+    # 1e-2 bounds that gradient at 100 while leaving satisfied terms
+    # (tanh(x) >> eps) numerically unchanged to ~1e-2 relative.
+    tanh_eps: Optional[float] = None
 
 
 @dataclass(frozen=True)
@@ -268,6 +282,8 @@ def from_reference_flags(args) -> RunConfig:
         byol_tau_base=float(byol.split("|")[1]) if byol.count("|") >= 1 else 0.9995,
         byol_tau_max=float(byol.split("|")[2]) if byol.count("|") >= 2 else 1.0,
         minmaximize=_yn(get("minmaximize", "n")),
+        tanh_eps=(float(te) if (te := get("tanh_eps", None)) not in (None, "")
+                  else None),
     )
 
     optim = OptimConfig(

@@ -41,6 +41,21 @@ class LossWeights:
         return LossWeights(align_pf=5.0, byol=2.0, tanh=2.0, cl=cl_weight, ood=0.2)
 
 
+def resolve_tanh_eps(cfg: LossConfig, min_contrast_ran: bool) -> float:
+    """Epsilon for every -log(tanh(x)+eps) term this step.
+
+    Reference-exact default (verified by tests/test_reference_parity.py):
+    calculate_loss receives EPS=1e-8 (pipnet/train.py:238) but its
+    min-contrast block rebinds the local EPS to 1e-12 BEFORE any tanh term
+    runs (pipnet/train.py:1024), so min-contrast steps use 1e-12.
+    ``cfg.tanh_eps`` overrides both — the opt-in random-init stabilizer
+    bounding the -1/(x+eps) gradient (see LossConfig.tanh_eps).
+    """
+    if cfg.tanh_eps is not None:
+        return cfg.tanh_eps
+    return 1e-12 if min_contrast_ran else C.EPS
+
+
 def compute_total_loss(tc: TreeConsts,
                        outputs: Dict[str, jnp.ndarray],
                        ys: jnp.ndarray,
@@ -108,10 +123,7 @@ def compute_total_loss(tc: TreeConsts,
         total = total + cfg.min_contrast_weight * mc
         aux["min_contrast"] = mc
 
-    # reference quirk (verified by tests/test_reference_parity.py): the
-    # min-contrast block rebinds calculate_loss's local EPS from 1e-8 to 1e-12
-    # (pipnet/train.py:1024), so every tanh term AFTER it uses 1e-12
-    tanh_eps = 1e-12 if min_contrast_ran else C.EPS
+    tanh_eps = resolve_tanh_eps(cfg, min_contrast_ran)
 
     if not finetune and cfg.align_pf:
         if "align_pf_logsum" in outputs:

@@ -46,6 +46,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # warmup for the deep-backbone group over N epochs after the
     # freeze_epochs unfreeze — see OptimConfig.unfreeze_warmup_epochs.
     add("--unfreeze_warmup_epochs", type=float, default=0.0)
+    # NOT in the reference (same random-init rationale): override the
+    # epsilon inside -log(tanh(x)+eps), bounding that term's 1/(x+eps)
+    # gradient — see LossConfig.tanh_eps.  Unset = reference-exact
+    # (1e-8, or 1e-12 after the min-contrast rebinding quirk).
+    add("--tanh_eps", type=float, default=None)
     add("--log_dir", type=str, default="./runs/run_pipnet")
     add("--num_features", type=int, default=0)
     add("--image_size", type=int, default=224)

@@ -262,3 +262,39 @@ class TestOverspecificity:
                 want_l1 += 0.5 * (l1_n / total_rel) / tree.num_nodes
         np.testing.assert_allclose(out["overspecificity"], want_os, rtol=1e-4)
         np.testing.assert_allclose(out["mask_l1"], want_l1, rtol=1e-4)
+
+
+class TestTanhEpsOverride:
+    """--tanh_eps: opt-in gradient bound for the -log(tanh(x)+eps) terms."""
+
+    def test_resolution_order(self):
+        from pipnet_tpu.config import LossConfig, from_reference_flags
+        from pipnet_tpu.losses.aggregate import resolve_tanh_eps
+        # reference-exact defaults: 1e-8, rebound to 1e-12 under min-contrast
+        assert resolve_tanh_eps(LossConfig(), False) == EPS
+        assert resolve_tanh_eps(LossConfig(), True) == 1e-12
+        # the override wins in both regimes
+        cfg = LossConfig(tanh_eps=1e-2)
+        assert resolve_tanh_eps(cfg, False) == 1e-2
+        assert resolve_tanh_eps(cfg, True) == 1e-2
+        # flag plumbing (unset stays reference-exact)
+        assert from_reference_flags({"tanh_eps": "0.01"}).train.loss.tanh_eps == 0.01
+        assert from_reference_flags({}).train.loss.tanh_eps is None
+
+    def test_bounds_gradient_at_zero_activation(self, setup):
+        tree, tc, nodes, ys, pooled, w_eff, logits, rng = setup
+        dead = np.zeros_like(pooled)  # every prototype silent: worst case
+
+        def total(p, eps):
+            return tanh_loss(tc, p, jnp.asarray(ys), eps=eps)[0]
+
+        g_ref = jax.grad(lambda p: total(p, 1e-12))(jnp.asarray(dead))
+        g_safe = jax.grad(lambda p: total(p, 1e-2))(jnp.asarray(dead))
+        # reference epsilon: gradient magnitude ~1/eps per contributing term
+        assert float(jnp.abs(g_ref).max()) > 1e8
+        # override bounds it at ~1/eps = 100 (per term, pre-averaging)
+        assert float(jnp.abs(g_safe).max()) <= 100.0 + 1e-3
+        # and on healthy activations the LOSS is barely perturbed
+        l_ref = float(total(jnp.asarray(pooled), 1e-12))
+        l_safe = float(total(jnp.asarray(pooled), 1e-2))
+        np.testing.assert_allclose(l_safe, l_ref, rtol=5e-2)
