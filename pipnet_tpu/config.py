@@ -102,6 +102,16 @@ class LossConfig:
     # 1e-2 bounds that gradient at 100 while leaving satisfied terms
     # (tanh(x) >> eps) numerically unchanged to ~1e-2 relative.
     tanh_eps: Optional[float] = None
+    # Epsilon inside align_pf's -log(<pf1,pf2> + eps) CARL term.  None =
+    # reference-exact 1e-12 (pipnet/train.py:1399-1405).  Same random-init
+    # rationale as tanh_eps: the term's gradient is ~1/(ip+eps), and the
+    # measured 190-class collapse AFTER tanh_eps was bounded was driven by
+    # align_pf exploding 0.23 -> 19 at the backbone unfreeze (x5 weight ~= the
+    # observed ~97 total; runs/full_phase_190 forensics) — two views' softmaxed
+    # maps decorrelate, ip -> 0, and the 1e12-magnitude pull dominates every
+    # clipped step.  1e-2 bounds it at 100; satisfied patches (ip >> eps) are
+    # numerically unchanged to ~1e-2 relative.
+    align_eps: Optional[float] = None
 
 
 @dataclass(frozen=True)
@@ -284,6 +294,8 @@ def from_reference_flags(args) -> RunConfig:
         minmaximize=_yn(get("minmaximize", "n")),
         tanh_eps=(float(te) if (te := get("tanh_eps", None)) not in (None, "")
                   else None),
+        align_eps=(float(ae) if (ae := get("align_eps", None)) not in (None, "")
+                   else None),
     )
 
     optim = OptimConfig(

@@ -133,7 +133,10 @@ def compute_total_loss(tc: TreeConsts,
             apf, apf_pn = C.align_pf_from_logsum(
                 tc, outputs["align_pf_logsum"], ys, hw)
         else:
-            apf, apf_pn = C.align_pf_loss(tc, outputs["proto_features"], ys)
+            align_eps = (cfg.align_eps if cfg.align_eps is not None
+                         else C.ALIGN_EPS)
+            apf, apf_pn = C.align_pf_loss(tc, outputs["proto_features"], ys,
+                                          eps=align_eps)
         total = total + weights.align_pf * apf
         aux["align_pf"] = apf
         aux["align_pf_per_node"] = apf_pn

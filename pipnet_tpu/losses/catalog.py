@@ -207,9 +207,14 @@ def node_batch_masks(tc: TreeConsts, ys: jnp.ndarray):
     return under, counts
 
 
-def align_pf_loss(tc: TreeConsts, proto_features: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
+def align_pf_loss(tc: TreeConsts, proto_features: jnp.ndarray, ys: jnp.ndarray,
+                  eps: float = ALIGN_EPS) -> jnp.ndarray:
     """CARL alignment of softmaxed prototype maps between views, per node over
     in-node samples; both stop-grad directions (ref pipnet/train.py:1063-1074).
+
+    ``eps``: reference-exact ALIGN_EPS=1e-12 by default; LossConfig.align_eps
+    overrides it (opt-in random-init stabilizer bounding the 1/(ip+eps)
+    gradient).
 
     Returns sum over nodes of the per-node loss / num_nodes.
     """
@@ -225,7 +230,7 @@ def align_pf_loss(tc: TreeConsts, proto_features: jnp.ndarray, ys: jnp.ndarray) 
     under, counts = node_batch_masks(tc, ys1)           # (B,N), (N,)
     hw = pf1.shape[1] * pf1.shape[2]
     m = under[:, None, None, :]
-    t = -jnp.log(ip + ALIGN_EPS) * m
+    t = -jnp.log(ip + eps) * m
     per_node = t.sum(axis=(0, 1, 2)) / jnp.maximum(counts * hw, 1.0)
     per_node = jnp.where(counts > 0, per_node, 0.0)
     return per_node.sum() / tc.num_nodes, per_node

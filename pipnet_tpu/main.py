@@ -51,6 +51,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # gradient — see LossConfig.tanh_eps.  Unset = reference-exact
     # (1e-8, or 1e-12 after the min-contrast rebinding quirk).
     add("--tanh_eps", type=float, default=None)
+    # NOT in the reference (same random-init rationale): override the
+    # epsilon inside align_pf's -log(<pf1,pf2>+eps), bounding its 1/(ip+eps)
+    # gradient — see LossConfig.align_eps.  Unset = reference-exact 1e-12.
+    add("--align_eps", type=float, default=None)
     add("--log_dir", type=str, default="./runs/run_pipnet")
     add("--num_features", type=int, default=0)
     add("--image_size", type=int, default=224)

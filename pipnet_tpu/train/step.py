@@ -223,8 +223,12 @@ def make_train_step(model: PIPNet, tree: TreeArrays, cfg: RunConfig,
         # Opt-in via PIPNET_NOPF_HEAD=1 (useful where HBM *capacity* binds:
         # bigger trees or batches).  Harmless no-op when head_supports_fusion
         # rejects the config.
+        # align_eps overrides the epsilon the no-pf kernel bakes in at build
+        # time (1e-12), so the two opt-ins are mutually exclusive: fall back
+        # to materializing pf, where the eps is applied in align_pf_loss.
         fuse_align_pf = (model.cfg.use_pallas_head and lcfg.align_pf
                          and not ph.finetune
+                         and lcfg.align_eps is None
                          and os.environ.get("PIPNET_NOPF_HEAD") == "1")
 
         def loss_fn(params):

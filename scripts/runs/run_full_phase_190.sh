@@ -43,6 +43,26 @@
 #   from ImageNet weights).
 # - 12 pretrain epochs (cheap: ~25 s each with the device-resident data
 #   cache) for stronger prototype alignment before classification.
+# - --tanh_eps 0.01: the three guards above got the unfreeze EPOCH
+#   through, but the run still collapsed mid-warmup (train epoch 11:
+#   loss 3.0 -> 82 -> 136, acc 5% -> 0.5%; runs/full_phase_190_refeps_
+#   collapse).  Forensics: tanh_desc sat at 20.4 (-> -log(1e-12)=27.6
+#   saturated) BEFORE the collapse — unsatisfied descendant terms carry
+#   a 1/(x+1e-12) ~ 5e8 gradient whose direction dominates every
+#   clipped step once the backbone thaws.  Bounding the log epsilon at
+#   1e-2 caps that gradient at 100 (LossConfig.tanh_eps; default None
+#   keeps reference-exact 1e-8/1e-12 semantics).
+# - --align_eps 0.01: with tanh_eps bounded the run STILL collapsed two
+#   epochs into the unfreeze warmup (train epochs 10-12: loss 2.2 -> 10
+#   -> 97, fine acc 4.8% -> 0.4%; runs/full_phase_190 metrics_train
+#   epochs 21-24).  Forensics: align_pf 0.23 -> 17.9 -> 19.2 (x5 weight
+#   ~= the entire 97-104 plateau) — once the thawing backbone
+#   decorrelates the two views' softmaxed maps, the CARL term's
+#   -log(ip + 1e-12) gradient (~1/ip, measured ip ~ e^-19 ~ 5.6e-9,
+#   so ~2e8 per patch) dominates every clipped step and the run never
+#   recovers.  Same 1e-2 log-floor as tanh_eps, applied to the term
+#   that actually exploded (LossConfig.align_eps; default None keeps
+#   reference-exact 1e-12 semantics).
 # checkpoint_every 5: the tunneled backend's device->host fetch can
 # degrade to ~8 MB/s, making the reference's every-epoch ~400 MB save
 # the bottleneck (and once, a wedged fetch hung the run mid-save).
@@ -60,7 +80,7 @@ python -m pipnet_tpu.main \
   --epochs_finetune_classifier 2 --epochs_finetune 4 \
   --epochs_finetune_mask_prune 34 --freeze_epochs 8 \
   --lr 0.001 --lr_block 0.0001 --lr_net 0.0001 --clip_grad 2.0 \
-  --unfreeze_warmup_epochs 5 \
+  --unfreeze_warmup_epochs 5 --tanh_eps 0.01 --align_eps 0.01 \
   --image_size 224 --seed 1 \
   --kernel_orth y --num_protos_per_descendant 0 --num_protos_per_child 10 \
   --align n --uni n --align_pf y --tanh y --tanh_desc 'y|0.05' \

@@ -298,3 +298,55 @@ class TestTanhEpsOverride:
         l_ref = float(total(jnp.asarray(pooled), 1e-12))
         l_safe = float(total(jnp.asarray(pooled), 1e-2))
         np.testing.assert_allclose(l_safe, l_ref, rtol=5e-2)
+
+
+class TestAlignEpsOverride:
+    """--align_eps: opt-in gradient bound for align_pf's -log(<pf1,pf2>+eps).
+
+    The measured need: with tanh_eps already bounded, the 190-class
+    full-phase run still collapsed at the backbone unfreeze with align_pf
+    0.23 -> 19 (x5 weight) driving the loss (runs/full_phase_190 forensics)."""
+
+    def test_flag_plumbing(self):
+        from pipnet_tpu.config import from_reference_flags
+        assert from_reference_flags({"align_eps": "0.01"}).train.loss.align_eps == 0.01
+        assert from_reference_flags({}).train.loss.align_eps is None
+
+    def test_bounds_gradient_on_decorrelated_views(self, setup):
+        tree, tc, nodes, ys, pooled, w_eff, logits, rng = setup
+        B = len(ys) // 2
+        H = W = 2
+        P = tree.num_protos_padded
+        # Worst case: the two views put all softmax mass on DIFFERENT
+        # prototypes of each node -> per-node inner product is exactly 0.
+        pf = np.zeros((2 * B, H, W, P), np.float32)
+        for ni in range(tree.num_nodes):
+            sl = tree.node_proto_slice(ni)
+            pf[:B, :, :, sl.start] = 1.0
+            pf[B:, :, :, sl.start + 1] = 1.0
+
+        def total(x, eps):
+            return align_pf_loss(tc, x, jnp.asarray(ys), eps=eps)[0]
+
+        g_ref = jax.grad(lambda x: total(x, 1e-12))(jnp.asarray(pf))
+        g_safe = jax.grad(lambda x: total(x, 1e-2))(jnp.asarray(pf))
+        assert float(jnp.abs(g_ref).max()) > 1e8
+        # d/dip[-log(ip+eps)] <= 1/eps = 100 per patch term, pre-averaging
+        assert float(jnp.abs(g_safe).max()) <= 100.0 + 1e-3
+        # healthy (well-aligned) views: the LOSS is barely perturbed
+        good = np.full((2 * B, H, W, P), 0.0, np.float32)
+        for ni in range(tree.num_nodes):
+            sl = tree.node_proto_slice(ni)
+            good[:, :, :, sl.start] = 1.0
+        l_ref = float(total(jnp.asarray(good), 1e-12))
+        l_safe = float(total(jnp.asarray(good), 1e-2))
+        np.testing.assert_allclose(l_safe, l_ref, atol=1e-2)
+
+    def test_default_is_reference_exact(self, setup):
+        tree, tc, nodes, ys, pooled, w_eff, logits, rng = setup
+        B = len(ys) // 2
+        pf = np.abs(np.random.default_rng(7).normal(
+            size=(2 * B, 2, 2, tree.num_protos_padded))).astype(np.float32)
+        a = align_pf_loss(tc, jnp.asarray(pf), jnp.asarray(ys))[0]
+        b = align_pf_loss(tc, jnp.asarray(pf), jnp.asarray(ys), eps=1e-12)[0]
+        np.testing.assert_allclose(float(a), float(b), rtol=0, atol=0)
