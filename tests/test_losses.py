@@ -342,6 +342,40 @@ class TestAlignEpsOverride:
         l_safe = float(total(jnp.asarray(good), 1e-2))
         np.testing.assert_allclose(l_safe, l_ref, atol=1e-2)
 
+    def test_aggregate_plumbs_align_eps(self, setup):
+        """cfg.align_eps must reach align_pf_loss through compute_total_loss."""
+        from pipnet_tpu.config import LossConfig
+        from pipnet_tpu.losses import LossWeights, compute_total_loss
+        tree, tc, nodes, ys, pooled, w_eff, logits, rng = setup
+        B = len(ys) // 2
+        P = tree.num_protos_padded
+        pf = np.zeros((2 * B, 2, 2, P), np.float32)
+        for ni in range(tree.num_nodes):
+            sl = tree.node_proto_slice(ni)
+            pf[:B, :, :, sl.start] = 1.0          # views fully decorrelated:
+            pf[B:, :, :, sl.start + 1] = 1.0      # align_pf saturates at -log(eps)
+        outputs = {"features": jnp.zeros((2 * B, 2, 2, 4), jnp.float32),
+                   "proto_features": jnp.asarray(pf),
+                   "pooled": jnp.asarray(pooled), "logits": jnp.asarray(logits)}
+        kw = dict(ys=jnp.asarray(ys), w_eff=jnp.asarray(w_eff),
+                  add_on_kernel=jnp.zeros((4, P), jnp.float32),
+                  proto_presence=jnp.zeros((P, 2), jnp.float32),
+                  multiplier=jnp.asarray(2.0),
+                  weights=LossWeights.pretrain(1, 2), pretrain=True,
+                  finetune=False)
+        base = dict(align=False, uni=False, align_pf=True, tanh=False, byol=False)
+        t_ref, aux_ref = compute_total_loss(tc, outputs, cfg=LossConfig(**base), **kw)
+        t_safe, aux_safe = compute_total_loss(
+            tc, outputs, cfg=LossConfig(**base, align_eps=1e-2), **kw)
+        # every in-batch patch term saturates at exactly -log(eps); nodes with
+        # no in-batch descendants contribute 0
+        frac = np.mean([len(node_rows(tree, nodes, nm, ys[:B])) > 0
+                        for nm in tree.node_names])
+        np.testing.assert_allclose(float(aux_ref["align_pf"]),
+                                   frac * -np.log(1e-12), rtol=1e-5)
+        np.testing.assert_allclose(float(aux_safe["align_pf"]),
+                                   frac * -np.log(1e-2), rtol=1e-5)
+
     def test_default_is_reference_exact(self, setup):
         tree, tc, nodes, ys, pooled, w_eff, logits, rng = setup
         B = len(ys) // 2
