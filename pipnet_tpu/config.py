@@ -130,6 +130,17 @@ class OptimConfig:
     # which the ~1/pooled tanh gradients spiral.  Clipping bounds the
     # shock so the recovery pressure -log(tanh) exerts can act.)
     clip_grad: float = 0.0
+    # Apply clip_grad per parameter group (backbone / freeze / train /
+    # add_on / classifier / presence) instead of one shared global scale.
+    # Why: the global clip factor COUPLES the groups — when the random-init
+    # deep backbone thaws, its noisy gradients through 26M parameters
+    # dominate the global norm (measured: raw norm 1.8 -> 10 at the
+    # unfreeze epoch even with lr_net 1e-6, i.e. with negligible deep
+    # UPDATES), so the tail/add-on/classifier steps all shrink ~5x at the
+    # exact moment the loss landscape needs tracking.  Per-group norms
+    # decouple them; mirrors clipping each torch optimizer/param-group
+    # separately.  Only meaningful with clip_grad > 0.
+    clip_grad_per_group: bool = False
     # Linear lr warmup (in epochs) for the DEEP-BACKBONE group after the
     # freeze_epochs unfreeze; 0 = off (the reference has none — it always
     # starts from ImageNet weights, main.py:289-348, so the unfreeze is
@@ -304,6 +315,7 @@ def from_reference_flags(args) -> RunConfig:
         lr_net=float(get("lr_net", 0.0005)),
         weight_decay=float(get("weight_decay", 0.0)),
         clip_grad=float(get("clip_grad", 0.0)),
+        clip_grad_per_group=_yn(get("clip_grad_per_group", "n")),
         unfreeze_warmup_epochs=float(get("unfreeze_warmup_epochs", 0.0)),
     )
 

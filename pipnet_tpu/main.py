@@ -42,6 +42,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # pipnet/train.py:1126-1128); needed to train from random init — see
     # OptimConfig.clip_grad.  0 disables (default = reference behavior).
     add("--clip_grad", type=float, default=0.0)
+    # Clip each parameter group by its own norm instead of one global
+    # scale — decouples the just-thawed backbone's noisy gradient norm
+    # from the learning groups' step sizes.  See OptimConfig.
+    add("--clip_grad_per_group", type=str, default="n")
     # NOT in the reference either (same random-init rationale): linear lr
     # warmup for the deep-backbone group over N epochs after the
     # freeze_epochs unfreeze — see OptimConfig.unfreeze_warmup_epochs.

@@ -127,6 +127,38 @@ def cosine_warm_restarts(base_lr, eta_min, epoch_frac, t0):
     return eta_min + (base_lr - eta_min) * (1 + jnp.cos(jnp.pi * tcur / t0)) / 2.0
 
 
+def clip_gradients(grads: PyTree, labels: PyTree, clip: float,
+                   *, per_group: bool = False):
+    """Gradient-norm clipping; returns (clipped_grads, pre-clip global norm).
+
+    ``per_group=False``: one shared scale min(1, clip/||g||) over every leaf
+    (torch clip_grad_norm_ over all parameters).  ``per_group=True``: one
+    norm PER parameter group (backbone/freeze/train/add_on/classifier/
+    presence) — a group with huge gradients but negligible updates (the
+    just-thawed random-init deep backbone) must not shrink the steps of the
+    groups doing the learning; the reference's two-optimizer split makes
+    per-group the closer torch analogy anyway.  The returned norm is the
+    GLOBAL one either way (logged as grad_norm for trail continuity).
+    """
+    gleaves = jax.tree_util.tree_leaves(grads)
+    global_norm = jnp.sqrt(sum(
+        jnp.sum(jnp.square(g.astype(jnp.float32))) for g in gleaves))
+    if not per_group:
+        scale = jnp.minimum(1.0, clip / (global_norm + 1e-12))
+        return jax.tree_util.tree_map(
+            lambda g: g * scale.astype(g.dtype), grads), global_norm
+    lleaves = jax.tree_util.tree_leaves(labels)
+    gsq: Dict[str, jnp.ndarray] = {}
+    for g, lab in zip(gleaves, lleaves):
+        gsq[lab] = gsq.get(lab, 0.0) + jnp.sum(
+            jnp.square(g.astype(jnp.float32)))
+    gscale = {lab: jnp.minimum(1.0, clip / (jnp.sqrt(s) + 1e-12))
+              for lab, s in gsq.items()}
+    return jax.tree_util.tree_map(
+        lambda g, lab: g * gscale[lab].astype(g.dtype), grads, labels
+    ), global_norm
+
+
 # ---------------------------------------------------------------------------
 # functional AdamW with per-leaf masking/counts
 # ---------------------------------------------------------------------------

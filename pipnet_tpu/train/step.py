@@ -261,14 +261,12 @@ def make_train_step(model: PIPNet, tree: TreeArrays, cfg: RunConfig,
 
         grad_norm = None
         if ocfg.clip_grad > 0.0:
-            # global-norm clipping over the trainable leaves (_prune zeroes
-            # the rest); see OptimConfig.clip_grad for why this exists
-            grad_norm = jnp.sqrt(sum(
-                jnp.sum(jnp.square(g.astype(jnp.float32)))
-                for g in jax.tree_util.tree_leaves(grads)))
-            scale = jnp.minimum(1.0, ocfg.clip_grad / (grad_norm + 1e-12))
-            grads = jax.tree_util.tree_map(lambda g: g * scale.astype(g.dtype),
-                                           grads)
+            # clipping over the trainable leaves (_prune zeroes the rest);
+            # see OptimConfig.clip_grad / clip_grad_per_group for why
+            from .optimizer import clip_gradients
+            grads, grad_norm = clip_gradients(
+                grads, _labels, ocfg.clip_grad,
+                per_group=ocfg.clip_grad_per_group)
 
         labels = _labels
 

@@ -371,6 +371,45 @@ class TestClipGrad:
         assert max_diff(p_off, p_tiny) > 0.0
 
 
+class TestClipGradPerGroup:
+    """--clip_grad_per_group: per-group norms decouple a huge-gradient
+    group (the just-thawed random deep backbone) from the learning groups.
+    Measured need: at the unfreeze the raw global norm jumped 1.8 -> 10
+    even with lr_net 1e-6 (negligible deep UPDATES), shrinking every
+    other group's step ~5x through the shared clip factor."""
+
+    def _toy(self):
+        grads = {"deep": jnp.full((4,), 100.0), "cls": jnp.full((3,), 0.3)}
+        labels = {"deep": "backbone", "cls": "classifier"}
+        return grads, labels
+
+    def test_global_couples_per_group_decouples(self):
+        from pipnet_tpu.train.optimizer import clip_gradients
+        grads, labels = self._toy()
+        want_global = float(np.sqrt(4 * 100.0 ** 2 + 3 * 0.3 ** 2))
+
+        g_glob, n_glob = clip_gradients(grads, labels, 2.0, per_group=False)
+        np.testing.assert_allclose(float(n_glob), want_global, rtol=1e-6)
+        # global: the classifier step is crushed by the deep group's norm
+        np.testing.assert_allclose(
+            np.asarray(g_glob["cls"]), 0.3 * 2.0 / want_global, rtol=1e-5)
+
+        g_pg, n_pg = clip_gradients(grads, labels, 2.0, per_group=True)
+        # reported norm stays the GLOBAL one (metric-trail continuity)
+        np.testing.assert_allclose(float(n_pg), want_global, rtol=1e-6)
+        # deep group clipped by its own norm (200 -> 2)
+        np.testing.assert_allclose(
+            np.asarray(g_pg["deep"]), 100.0 * 2.0 / 200.0, rtol=1e-5)
+        # classifier group untouched (its own norm 0.52 < 2.0)
+        np.testing.assert_allclose(np.asarray(g_pg["cls"]), 0.3, rtol=1e-6)
+
+    def test_flag_plumbing(self):
+        from pipnet_tpu.config import from_reference_flags
+        assert from_reference_flags(
+            {"clip_grad_per_group": "y"}).train.optim.clip_grad_per_group
+        assert not from_reference_flags({}).train.optim.clip_grad_per_group
+
+
 class TestUnfreezeWarmup:
     def test_backbone_lr_ramp(self):
         """--unfreeze_warmup_epochs ramps ONLY the deep-backbone group's lr
