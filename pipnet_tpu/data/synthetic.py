@@ -1,70 +1,145 @@
 """Synthetic dataset fixture: a tiny on-disk ImageFolder + matching Newick
 phylogeny, so tests and smoke runs need no cluster data paths
-(the reference hard-codes cluster filesystems in util/data.py:126-425)."""
+(the reference hard-codes cluster filesystems in util/data.py:126-425).
+
+The fixture is HIERARCHICAL: the phylogeny is generated first, every
+internal node is assigned a distinct visual marker (golden-ratio hue +
+shape family + orientation), and each image is stamped with one marker per
+ancestor of its class.  This matches the data assumption HComP-Net's
+losses encode — tanh_desc demands, for every child of every node, a
+prototype that activates on EVERY leaf descendant (pipnet/train.py:
+1089-1134), and minimize_contrasting_set demands it NOT activate on
+non-descendants (1017-1060).  Real phylogenetic datasets satisfy this
+through inherited morphology; a fixture with only per-class cues and a
+random tree cannot (measured: a 190-class run from random init holds
+tanh_desc pinned at its saturation value from the first full-loss epoch —
+most (child, leaf) terms are unsatisfiable — and ~5 epochs of the
+resulting prototype-death cascade collapse the run regardless of every
+optimizer guard; runs/full_phase_190_*collapse forensics).  With
+node-aligned markers every descendant-product term has an actual visual
+trait to bind to."""
 
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 from PIL import Image
+
+# Bump when the generator's output changes: the on-disk fixture cache
+# (datasets.resolve_dataset) is keyed by this, so stale images from an
+# older generator are never silently reused.
+FIXTURE_VERSION = 2
 
 
 def synthetic_class_names(num_classes: int) -> List[str]:
     return [f"syn_{i + 1:03d}_Species_{chr(65 + i % 26)}{i}" for i in range(num_classes)]
 
 
-def make_synthetic_newick(class_names: List[str], rng: np.random.Generator) -> str:
-    """Random binary phylogeny over the class names with random branch lengths."""
-    items = [f"{n}:{rng.uniform(0.5, 2.0):.3f}" for n in class_names]
-    rng_order = rng.permutation(len(items))
-    items = [items[i] for i in rng_order]
+def _merge_topology(class_names: List[str], rng: np.random.Generator
+                    ) -> Tuple[str, Dict[int, List[int]]]:
+    """Random binary merge tree over the classes.
+
+    Returns (newick, ancestors) where ancestors[ci] lists the internal-node
+    ids on the root->leaf path of class ci (ids in merge order, 0-based).
+    """
+    items: List[Tuple[str, List[int]]] = [
+        (f"{n}:{rng.uniform(0.5, 2.0):.3f}", [ci])
+        for ci, n in enumerate(class_names)]
+    order = rng.permutation(len(items))
+    items = [items[i] for i in order]
+    ancestors: Dict[int, List[int]] = {ci: [] for ci in range(len(class_names))}
+    nid = 0
     while len(items) > 1:
         a = items.pop(int(rng.integers(len(items))))
         b = items.pop(int(rng.integers(len(items))))
-        items.append(f"({a},{b}):{rng.uniform(0.5, 2.0):.3f}")
-    return items[0].rsplit(":", 1)[0] + ";"
+        for ci in a[1] + b[1]:
+            ancestors[ci].append(nid)
+        items.append((f"({a[0]},{b[0]}):{rng.uniform(0.5, 2.0):.3f}",
+                      a[1] + b[1]))
+        nid += 1
+    return items[0][0].rsplit(":", 1)[0] + ";", ancestors
 
 
-def _class_cues(ci: int) -> Tuple[np.ndarray, float, float, int]:
-    """Deterministic per-class visual cues that survive resizing to 224px and
-    the training augmentations: a golden-ratio-spread HSV color (well-separated
-    even at 190 classes, unlike uniform-random RGB draws which collide), a
-    stripe ORIENTATION angle, a stripe frequency bounded to 2-6 cycles per
-    image width (the old ``ci+2`` half-cycles aliased above Nyquist for
-    ci>~30, leaving most of a 190-class set distinguishable by color alone),
-    and a shape family (disc / ring / bar)."""
+def make_synthetic_newick(class_names: List[str], rng: np.random.Generator) -> str:
+    """Random binary phylogeny over the class names with random branch lengths."""
+    return _merge_topology(class_names, rng)[0]
+
+
+def _marker_cues(k: int) -> Tuple[np.ndarray, float, int]:
+    """Deterministic visual identity for marker id ``k``: golden-ratio HSV
+    color (well-separated across hundreds of ids), orientation, shape family.
+    """
     import colorsys
-    hue = (ci * 0.61803398875) % 1.0
-    sat = 0.55 + 0.4 * ((ci // 2) % 2)
-    val = 0.6 + 0.35 * ((ci // 4) % 2)
+    hue = (k * 0.61803398875) % 1.0
+    sat = 0.6 + 0.35 * ((k // 2) % 2)
+    val = 0.65 + 0.3 * ((k // 4) % 2)
     color = np.array(colorsys.hsv_to_rgb(hue, sat, val)) * 255.0
-    angle = np.deg2rad((ci * 49.3) % 180.0)
-    freq = 2.0 + (ci % 5)
-    shape = ci % 3
-    return color, angle, freq, shape
+    angle = np.deg2rad((k * 49.3) % 180.0)
+    shape = k % 5
+    return color, angle, shape
+
+
+def _stamp_marker(img: np.ndarray, xx: np.ndarray, yy: np.ndarray,
+                  cx: float, cy: float, rad: float, k: int,
+                  r: np.random.Generator) -> None:
+    """Draw marker ``k`` centered at (cx, cy) with radius ``rad`` in place."""
+    color, angle, shape = _marker_cues(k)
+    d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+    u = (xx - cx) * np.cos(angle) + (yy - cy) * np.sin(angle)
+    v = -(xx - cx) * np.sin(angle) + (yy - cy) * np.cos(angle)
+    if shape == 0:                                   # disc
+        blob = d2 < rad ** 2
+    elif shape == 1:                                 # ring
+        blob = (d2 < rad ** 2) & (d2 > (0.5 * rad) ** 2)
+    elif shape == 2:                                 # oriented bar
+        blob = (np.abs(u) < rad) & (np.abs(v) < 0.38 * rad)
+    elif shape == 3:                                 # cross
+        blob = ((np.abs(u) < rad) & (np.abs(v) < 0.3 * rad)) | (
+            (np.abs(v) < rad) & (np.abs(u) < 0.3 * rad))
+    else:                                            # square (axis-aligned)
+        blob = (np.abs(xx - cx) < 0.8 * rad) & (np.abs(yy - cy) < 0.8 * rad)
+    img[blob] = np.clip(color + r.integers(-18, 18, 3), 0, 255)
 
 
 def generate_synthetic_dataset(root: str, *, num_classes: int = 8,
                                images_per_class: int = 6, image_size: int = 128,
                                seed: int = 0) -> Tuple[str, str, str]:
-    """Create train/ and test/ ImageFolders plus a phylogeny .phy file.
+    """Create train/ and test/ ImageFolders plus a MATCHING phylogeny .phy.
 
-    Each class combines four robust cues (color / stripe orientation / stripe
-    frequency / blob shape, see ``_class_cues``) over randomized positions, so
-    a model trained FROM RANDOM INIT can actually fit a 190-class set — the
-    reference always starts from ImageNet weights, which this sandbox cannot
-    download, so the fixture has to carry more signal than a natural-image
-    benchmark would.  Returns (train_dir, test_dir, phylo_path).
+    Every image of class ci carries: a faint class-colored oriented-stripe
+    field (leaf-level cue, survives resize/augment), one marker per
+    INTERNAL-NODE ancestor of ci in the generated phylogeny (the
+    hierarchically-shared traits the per-node prototypes exist to find),
+    and one leaf marker unique to ci.  Markers are placed on a shuffled
+    grid over the central region so random-resized-crop keeps them, and
+    are sized to span roughly one 32px prototype patch after the 224px
+    resize.  Returns (train_dir, test_dir, phylo_path).
     """
     rng = np.random.default_rng(seed)
     names = synthetic_class_names(num_classes)
+    newick, ancestors = _merge_topology(names, rng)
+    num_internal = num_classes - 1
+    max_markers = max(len(a) for a in ancestors.values()) + 1  # + leaf marker
+    # grid sized to fit the deepest leaf's marker set, over central ~88%
+    gcells = 1
+    while gcells * gcells < max_markers:
+        gcells += 1
+    gcells = max(gcells, 4)
+    lo, hi = 0.06 * image_size, 0.94 * image_size
+    cell = (hi - lo) / gcells
+    rad = 0.42 * cell
+
     train_dir = os.path.join(root, "train")
     test_dir = os.path.join(root, "test")
     yy, xx = np.mgrid[:image_size, :image_size].astype(np.float64)
     for ci, name in enumerate(names):
-        color, angle, freq, shape = _class_cues(ci)
+        # leaf-level cue: class-colored stripes (golden-ratio hue offset by
+        # 0.31 so leaf stripe hues do not track marker hues)
+        scolor, sangle, _ = _marker_cues(num_internal + num_classes + ci)
+        sfreq = 2.0 + (ci % 5)
+        marker_ids = ancestors[ci] + [num_internal + ci]
         for split, n_imgs, off in ((train_dir, images_per_class, 0),
                                    (test_dir, max(2, images_per_class // 3), 1000)):
             cdir = os.path.join(split, name)
@@ -72,28 +147,21 @@ def generate_synthetic_dataset(root: str, *, num_classes: int = 8,
             for ii in range(n_imgs):
                 r = np.random.default_rng((seed, ci, ii + off))
                 img = r.integers(0, 60, (image_size, image_size, 3)).astype(np.float64)
-                # oriented low-frequency stripes over the whole image
-                proj = (xx * np.cos(angle) + yy * np.sin(angle)) / image_size
+                proj = (xx * np.cos(sangle) + yy * np.sin(sangle)) / image_size
                 phase = r.uniform(0, 2 * np.pi)
-                stripe = np.sin(2 * np.pi * freq * proj + phase) > 0.3
-                img[stripe] = np.clip(img[stripe] + color * 0.45, 0, 255)
-                # 1-2 shaped blobs in the class color at random positions
-                for _ in range(int(r.integers(1, 3))):
-                    cx, cy = r.integers(image_size // 4, 3 * image_size // 4, 2)
-                    rad = image_size / 5.0
-                    d2 = (xx - cx) ** 2 + (yy - cy) ** 2
-                    if shape == 0:                       # disc
-                        blob = d2 < rad ** 2
-                    elif shape == 1:                     # ring
-                        blob = (d2 < rad ** 2) & (d2 > (0.55 * rad) ** 2)
-                    else:                                # bar along the angle
-                        u = (xx - cx) * np.cos(angle) + (yy - cy) * np.sin(angle)
-                        v = -(xx - cx) * np.sin(angle) + (yy - cy) * np.cos(angle)
-                        blob = (np.abs(u) < rad) & (np.abs(v) < 0.35 * rad)
-                    img[blob] = np.clip(color + r.integers(-20, 20, 3), 0, 255)
+                stripe = np.sin(2 * np.pi * sfreq * proj + phase) > 0.3
+                img[stripe] = np.clip(img[stripe] + scolor * 0.35, 0, 255)
+                # one marker per ancestor node + the leaf marker, each in its
+                # own random grid cell (no overlap, never near the border)
+                cells = r.permutation(gcells * gcells)[:len(marker_ids)]
+                for k, cidx in zip(marker_ids, cells):
+                    gx, gy = cidx % gcells, cidx // gcells
+                    cx = lo + (gx + 0.5) * cell + r.uniform(-0.08, 0.08) * cell
+                    cy = lo + (gy + 0.5) * cell + r.uniform(-0.08, 0.08) * cell
+                    _stamp_marker(img, xx, yy, cx, cy, rad, k, r)
                 Image.fromarray(img.astype(np.uint8)).save(
                     os.path.join(cdir, f"img_{ii:03d}.png"))
     phylo_path = os.path.join(root, "phylogeny.phy")
     with open(phylo_path, "w") as f:
-        f.write(make_synthetic_newick(names, rng))
+        f.write(newick)
     return train_dir, test_dir, phylo_path

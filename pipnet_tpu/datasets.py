@@ -27,8 +27,10 @@ def resolve_dataset(name: str, *, seed: int = 1) -> Tuple[str, str, Optional[str
         parts = name.split(":")
         n_classes = int(parts[1]) if len(parts) > 1 else 8
         per_class = int(parts[2]) if len(parts) > 2 else 8
-        root = os.path.join(tempfile.gettempdir(),
-                            f"pipnet_tpu_synth_{n_classes}_{per_class}_{seed}")
+        from .data.synthetic import FIXTURE_VERSION
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"pipnet_tpu_synth_v{FIXTURE_VERSION}_{n_classes}_{per_class}_{seed}")
         phylo = os.path.join(root, "phylogeny.phy")
         if not os.path.exists(phylo):
             from .data.synthetic import generate_synthetic_dataset

@@ -64,24 +64,35 @@
 #   that actually exploded (LossConfig.align_eps; default None keeps
 #   reference-exact 1e-12 semantics).
 # - --lr_net 1e-6: the eps floors stopped the loss EXPLOSION but the
-#   fifth attempt still died at the same place (train epochs 10-11,
-#   warmup lr ~2-4e-5: acc 4.1% -> 0.5%, every bounded log term
-#   saturating at -log(1e-2), kernel_orth then diverging 1.2 -> 9.9;
-#   runs/full_phase_190_warmup_collapse).  Completed kill ladder for
-#   deep-backbone lr at this point: 5e-4, 1e-4, 1e-4+clip,
-#   1e-4+clip+warmup(+eps floors) — all dead within 1-2 epochs of the
-#   thaw; measured kill threshold ~2e-5.  Root cause is the regime, not
-#   a bug: the phase machine (matching the reference, main.py:521-626)
-#   never trains the DEEP backbone before freeze_epochs, so here it is
-#   still RANDOM when it thaws; its gradients through the saturating
-#   prototype losses are noise, and Adam turns any noise into ~lr_net
-#   per-parameter drift per step, destroying the fixed random features
-#   the trained tail depends on.  The reference never meets this: its
-#   deep backbone is ImageNet-pretrained (informative gradients) —
-#   lr_net 5e-4 is fine there.  1e-6 keeps the full-unfreeze phase
-#   real but ~20x below the measured kill threshold (total drift over
-#   the remaining 30 epochs ~3%, slow enough for the 100x-faster tail
-#   to track).
+#   fifth attempt still died at the same place (train epochs 10-11:
+#   acc 4.1% -> 0.5%, every bounded log term saturating at -log(1e-2);
+#   runs/full_phase_190_warmup_collapse).  Kill ladder for deep-backbone
+#   lr: 5e-4, 1e-4, 1e-4+clip, 1e-4+clip+warmup(+eps floors) — all dead
+#   within 1-2 epochs of the thaw.  1e-6 was chosen ~20x below that
+#   apparent threshold — and the run STILL collapsed at the same epoch,
+#   which led to the controlled A/B that settled it (next bullet).
+# - THE ACTUAL ROOT CAUSE (probe: identical run with freeze_epochs 40,
+#   i.e. never unfreeze, collapses at the same epoch with the same
+#   signature — runs/probe_nounfreeze_collapse): the collapse was never
+#   the unfreeze.  It is a prototype-death cascade inherent to training
+#   this loss set on a NON-HIERARCHICAL fixture: with only per-class
+#   cues and a random tree, most of tanh_desc's per-(child, leaf)
+#   descendant terms are unsatisfiable (td sat pinned at its saturation
+#   value from the first full-loss epoch in every run), the dying terms'
+#   gradients grow into the clip budget, and ~5 epochs of full-loss
+#   training tip it over (gn 1.1 -> 12.8 in ONE epoch with zero
+#   trainability change).  Fix: the fixture now generates the phylogeny
+#   FIRST and stamps every image with one marker per internal-node
+#   ancestor (data/synthetic.py FIXTURE_VERSION 2), so every
+#   descendant-product term has a real shared trait to bind to — the
+#   assumption the reference's real phylogenetic datasets satisfy
+#   through inherited morphology.
+# - --clip_grad_per_group y: decouples the groups' step sizes — during
+#   the cascade the global clip factor let the exploding tanh-side
+#   gradients shrink the classifier/tail steps 5-10x exactly when
+#   tracking was needed (and at the unfreeze, the thawed backbone's
+#   noisy gradient norm does the same to every other group).  Per-group
+#   norms also mirror the reference's two-optimizer split more closely.
 # checkpoint_every 5: the tunneled backend's device->host fetch can
 # degrade to ~8 MB/s, making the reference's every-epoch ~400 MB save
 # the bottleneck (and once, a wedged fetch hung the run mid-save).
@@ -98,7 +109,8 @@ python -m pipnet_tpu.main \
   --epochs 40 --epochs_pretrain 12 \
   --epochs_finetune_classifier 2 --epochs_finetune 4 \
   --epochs_finetune_mask_prune 34 --freeze_epochs 8 \
-  --lr 0.001 --lr_block 0.0001 --lr_net 0.000001 --clip_grad 2.0 \
+  --lr 0.001 --lr_block 0.0001 --lr_net 0.000001 \
+  --clip_grad 2.0 --clip_grad_per_group y \
   --unfreeze_warmup_epochs 5 --tanh_eps 0.01 --align_eps 0.01 \
   --image_size 224 --seed 1 \
   --kernel_orth y --num_protos_per_descendant 0 --num_protos_per_child 10 \

@@ -307,3 +307,66 @@ def test_device_geometric_cache_budget(synth, monkeypatch):
     a = ds._base(0)
     b = ds._base(0)
     assert a is not b and np.array_equal(a, b)
+
+
+class TestHierarchicalFixture:
+    """The synthetic fixture carries NODE-ALIGNED visual traits: the
+    phylogeny is generated first and every image is stamped with one
+    marker per internal-node ancestor of its class — the data assumption
+    behind tanh_desc / minimize_contrasting_set (pipnet/train.py:
+    1089-1134, 1017-1060).  See data/synthetic.py for the measured
+    collapse a non-hierarchical fixture causes."""
+
+    def test_merge_topology_matches_parsed_tree(self):
+        """Marker grouping (merge-node leaf sets) == the Node tree a run
+        actually trains on (parsed from the emitted newick)."""
+        from pipnet_tpu.data.synthetic import (_merge_topology,
+                                               synthetic_class_names)
+        from pipnet_tpu.tree import Phylogeny, construct_phylo_tree
+        names = synthetic_class_names(12)
+        newick, ancestors = _merge_topology(names, np.random.default_rng(3))
+        merge_sets = {}
+        for ci, anc in ancestors.items():
+            for nid in anc:
+                merge_sets.setdefault(nid, set()).add(names[ci])
+        root = construct_phylo_tree(phylo=Phylogeny(newick=newick))
+        root.assign_all_descendents()
+        parsed_sets = [frozenset(n.leaf_descendents)
+                       for n in root.nodes_with_children()]
+        assert sorted(map(frozenset, merge_sets.values()), key=sorted) \
+            == sorted(parsed_sets, key=sorted)
+        # binary merge tree: every class has its full root->leaf path
+        root_id = max(merge_sets)
+        assert all(root_id in anc for anc in ancestors.values())
+
+    def test_images_contain_ancestor_markers(self, tmp_path):
+        """Every image carries a pixel of each ancestor marker's color
+        (stamp noise is +-18 per channel)."""
+        from pipnet_tpu.data.synthetic import (_marker_cues, _merge_topology,
+                                               synthetic_class_names)
+        train, test, phy = generate_synthetic_dataset(
+            str(tmp_path), num_classes=6, images_per_class=2, image_size=96)
+        names = synthetic_class_names(6)
+        _, ancestors = _merge_topology(names, np.random.default_rng(0))
+        for ci, name in enumerate(names):
+            img = np.asarray(Image.open(
+                f"{train}/{name}/img_000.png"), dtype=np.float64)
+            flat = img.reshape(-1, 3)
+            for nid in ancestors[ci] + [5 + ci]:     # internal + leaf marker
+                color = _marker_cues(nid)[0]
+                dist = np.abs(flat - color[None, :]).max(axis=1)
+                # +-18 stamp noise plus uint8 quantization of the float color
+                assert dist.min() <= 19.5, (name, nid)
+
+    def test_sibling_share_non_sibling_differ(self, tmp_path):
+        from pipnet_tpu.data.synthetic import (_merge_topology,
+                                               synthetic_class_names)
+        names = synthetic_class_names(8)
+        _, ancestors = _merge_topology(names, np.random.default_rng(0))
+        # all leaves share the root marker; sibling leaves legitimately
+        # share their ENTIRE internal-ancestor set (the per-leaf marker is
+        # what tells them apart), and ancestor counts equal each leaf's depth
+        sets = [set(a) for a in ancestors.values()]
+        assert set.intersection(*sets)               # root shared by all
+        full = [frozenset(a) | {7 + ci} for ci, a in ancestors.items()]
+        assert len(set(full)) == 8                   # leaf marker disambiguates
