@@ -15,6 +15,29 @@ import os
 import sys
 
 
+def resolve_gallery_nodes(spec: str, tree) -> list:
+    """``--galleries_nodes`` spec -> internal-node index list.
+
+    ``'auto:K'`` picks K nodes spread across the tree (internal nodes
+    sorted by leaf-descendant count — a depth proxy — sampled evenly, so
+    the root, mid-level clades and near-leaf nodes all appear); otherwise
+    a comma-separated node-name list resolved against ``tree.node_names``.
+    """
+    if spec.startswith("auto:"):
+        k = min(max(1, int(spec.split(":", 1)[1])), tree.num_nodes)
+        order = sorted(range(tree.num_nodes),
+                       key=lambda ni: -int(tree.node_num_leaves[ni]))
+        idx = [order[int(round(i * (len(order) - 1) / max(k - 1, 1)))]
+               for i in range(k)]
+        return sorted(set(idx))
+    name_to_idx = {n: i for i, n in enumerate(tree.node_names)}
+    missing = [n for n in spec.split(",") if n not in name_to_idx]
+    if missing:
+        raise SystemExit(f"--galleries_nodes: unknown nodes {missing}; "
+                         f"known: {tree.node_names[:5]}...")
+    return [name_to_idx[n] for n in spec.split(",")]
+
+
 def run(argv=None) -> int:
     p = argparse.ArgumentParser("Evaluate a trained pipnet_tpu run")
     p.add_argument("--run_dir", required=True)
@@ -49,6 +72,14 @@ def run(argv=None) -> int:
                    help="CUB parts/parts.txt (with --part_purity_csv)")
     p.add_argument("--images_id", default=None,
                    help="CUB images.txt id<->path map (with --part_purity_csv)")
+    p.add_argument("--galleries_nodes", default=None,
+                   help="node-scoped hierarchy galleries on THIS run: a "
+                        "comma-separated internal-node name list, or "
+                        "'auto:K' to pick K nodes spread across tree depths. "
+                        "Lifts the driver's <=60-class final-viz gate (ref "
+                        "main.py:835) for real-tree-scale artifacts; "
+                        "descendant + non-descendant grids and heatmap "
+                        "overlays per util/vis_hpipnet.py:184-389.")
     args = p.parse_args(argv)
 
     from .runtime.profiling import enable_compilation_cache
@@ -154,13 +185,36 @@ def run(argv=None) -> int:
         ood_scores, *_ = collect(ood_loaders.test)
         result["ood"] = eval_ood(scores, ys, ood_scores, tree.num_classes)
 
-    if args.threshold_prune is not None or args.part_purity_csv:
+    if (args.threshold_prune is not None or args.part_purity_csv
+            or args.galleries_nodes):
         from .interp import (eval_prototypes_parts_csv, prototype_report,
                              run_projection, threshold_prune,
                              write_topk_patch_csv)
         proj = run_projection(model, tree, trainer.state.params,
                               trainer.state.batch_stats, loaders.project,
                               image_size=cfg.model.image_size)
+
+    if args.galleries_nodes:
+        import time as _time
+
+        from .interp import save_hierarchy_galleries
+        from .interp.hierarchy_viz import make_heatmap_forward
+        node_idx = resolve_gallery_nodes(args.galleries_nodes, tree)
+        t0 = _time.perf_counter()
+        hm_fwd = make_heatmap_forward(model, tree, trainer.state.params,
+                                      trainer.state.batch_stats, proj)
+        gdir = os.path.join(args.run_dir, "node_galleries")
+        written = save_hierarchy_galleries(
+            proj, tree, w_eff,
+            np.asarray(trainer.state.params["head"]["proto_presence"]),
+            gdir, k=10, heatmap_forward=hm_fwd, nodes=node_idx)
+        result["node_galleries"] = {
+            "nodes": [tree.node_names[i] for i in node_idx],
+            "files": len(written), "dir": gdir,
+            "seconds": round(_time.perf_counter() - t0, 1),
+        }
+        print(f"node galleries: {len(written)} files in "
+              f"{result['node_galleries']['seconds']}s -> {gdir}")
 
     if args.part_purity_csv:
         csv_path = os.path.join(args.run_dir, "topk_patches.csv")

@@ -148,6 +148,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
              "parity: every epoch; raise on backends with slow/flaky "
              "device->host transfer — the last epoch always saves)")
     add("--final_viz", type=str, default="y")
+    add("--final_viz_nodes", type=str, default=None,
+        help="comma-separated internal-node names: write hierarchy "
+             "galleries for JUST these nodes, lifting the <=60-class gate "
+             "(ref main.py:835 gates final viz entirely at scale; this "
+             "keeps the gallery surface reachable for 190-class trees)")
     add("--resume", action="store_true",
         help="restore the latest net_trained checkpoint from log_dir and "
              "continue (replaces the reference's filename-parsing resume, "
@@ -324,7 +329,13 @@ def run_pipnet(argv=None) -> int:
         result = trainer.fit(eval_every=args.eval_every, start_epoch=start_epoch,
                              skip_pretrain=skip_pretrain)
 
-    if args.final_viz == "y" and len(loaders.classes) <= 60:
+    viz_nodes = None
+    if args.final_viz_nodes:
+        names = {n: i for i, n in enumerate(tree.node_names)}
+        viz_nodes = [names[n] for n in args.final_viz_nodes.split(",")
+                     if n in names]
+    if args.final_viz == "y" and (viz_nodes is not None
+                                  or len(loaders.classes) <= 60):
         from .interp import (run_projection, save_hierarchy_galleries,
                              save_topk_gallery, topk_per_prototype)
         from .interp.hierarchy_viz import make_heatmap_forward
@@ -332,7 +343,8 @@ def run_pipnet(argv=None) -> int:
                               trainer.state.batch_stats, loaders.project,
                               image_size=cfg.model.image_size)
         gallery_dir = os.path.join(cfg.log_dir, args.dir_for_saving_images)
-        save_topk_gallery(proj, topk_per_prototype(proj, k=10), gallery_dir)
+        if viz_nodes is None:
+            save_topk_gallery(proj, topk_per_prototype(proj, k=10), gallery_dir)
         # per-node hierarchical galleries with real activation-map overlays
         # (ref main.py:835-866 -> util/vis_hpipnet.py save_images_topk)
         w_eff = np.asarray(model.apply(
@@ -344,7 +356,7 @@ def run_pipnet(argv=None) -> int:
             proj, tree, w_eff,
             np.asarray(trainer.state.params["head"]["proto_presence"]),
             os.path.join(gallery_dir, "hierarchy"), k=10,
-            heatmap_forward=hm_fwd)
+            heatmap_forward=hm_fwd, nodes=viz_nodes)
         print(f"prototype galleries written to {gallery_dir}")
 
     mins = (time.time() - t_start) / 60.0

@@ -1,0 +1,66 @@
+#!/bin/bash
+# Stabilizer ablation sweep (round-4 judge item #4): which of the four
+# random-init guards are STRICTLY necessary on the v2 hierarchical
+# fixture at the sparse-flagship hyperparameters
+# (scripts/runs/run_sparse_190.sh: classifier lr 0.05 with warm
+# restarts, lr_block 1e-4, lr_net 1e-6)?
+#
+# Every arm starts from the SAME pretrained state — the flagship's
+# net_pretrained checkpoint is copied into the arm's run dir and picked
+# up by --resume — so each arm isolates the train-phase effect of ONE
+# guard flipped back to its reference-exact default.  18 train epochs
+# cross every historical failure point: finetune->frozen transition,
+# the backbone unfreeze at epoch 8 (+5 warmup), and the first
+# classifier warm restart at epoch 10 (t0=10 since epochs>30 in the
+# flagship; here epochs=18<=30 gives t0=5, restarts at 5/10/15 — MORE
+# restart shocks than the flagship, a stricter test).
+#
+# The reference never needs these guards because it always starts from
+# ImageNet weights (/root/reference/main.py:319-348); this sweep
+# documents the minimal deviation surface for the random-init regime
+# this sandbox forces.  Results table: ROADMAP.md round-4 section.
+set -e
+BASE=${1:-./runs/sparse_190}
+COMMON="--dataset synthetic:190:48 --net convnext_tiny_26
+  --batch_size 64 --batch_size_pretrain 96
+  --epochs 18 --epochs_pretrain 10
+  --epochs_finetune_classifier 3 --epochs_finetune 4
+  --epochs_finetune_mask_prune 50 --freeze_epochs 8
+  --lr 0.05 --lr_block 0.0001 --lr_net 0.000001
+  --image_size 224 --seed 1
+  --kernel_orth y --num_protos_per_descendant 0 --num_protos_per_child 10
+  --align n --uni n --align_pf y --tanh y --tanh_desc y|0.05
+  --tanh_during_second_phase y
+  --softmax y|1 --weighted_ce_loss y --protopool n
+  --mask_prune_overspecific y|20|1.1 --minimize_contrasting_set y|1|0.1
+  --weighted_loss
+  --compute_dtype bfloat16 --fast_gelu y --use_pallas_head y
+  --eval_every 18 --checkpoint_every 18 --final_viz n --resume"
+
+run_arm () {
+  local name=$1; shift
+  local dir=./runs/ablations_r4/$name
+  if [ -f "$dir/eval_report.json" ] || [ -f "$dir/DONE" ]; then
+    echo "=== arm $name already done, skipping"; return
+  fi
+  mkdir -p "$dir/checkpoints"
+  cp -r "$BASE/checkpoints/net_pretrained" "$dir/checkpoints/" 2>/dev/null || true
+  echo "=== arm $name: $*"
+  python -m pipnet_tpu.main --log_dir "$dir" $COMMON "$@" && touch "$dir/DONE"
+}
+
+# full quartet (control at the short schedule; the flagship run itself is
+# the long-schedule reference point)
+run_arm quartet_control --clip_grad 2.0 --clip_grad_per_group y \
+  --unfreeze_warmup_epochs 5 --tanh_eps 0.01 --align_eps 0.01
+# one guard off per arm (reference-exact default restored)
+run_arm no_clip --clip_grad 0 --clip_grad_per_group n \
+  --unfreeze_warmup_epochs 5 --tanh_eps 0.01 --align_eps 0.01
+run_arm global_clip --clip_grad 2.0 --clip_grad_per_group n \
+  --unfreeze_warmup_epochs 5 --tanh_eps 0.01 --align_eps 0.01
+run_arm no_warmup --clip_grad 2.0 --clip_grad_per_group y \
+  --unfreeze_warmup_epochs 0 --tanh_eps 0.01 --align_eps 0.01
+run_arm ref_tanh_eps --clip_grad 2.0 --clip_grad_per_group y \
+  --unfreeze_warmup_epochs 5 --align_eps 0.01
+run_arm ref_align_eps --clip_grad 2.0 --clip_grad_per_group y \
+  --unfreeze_warmup_epochs 5 --tanh_eps 0.01

@@ -168,6 +168,27 @@ class TestHierarchyViz:
         with PILImage.open(heatmap_files[0]) as im:
             assert im.size[0] >= proj.image_size   # full-image grid, not crops
 
+    def test_resolve_gallery_nodes(self, proj_setup):
+        """--galleries_nodes spec resolution: names, auto:K spread, errors.
+
+        The node-scoped gallery surface lifts the reference's <=60-class
+        final-viz gate (main.py:835) so 190-class trees can still produce
+        per-node artifacts."""
+        from pipnet_tpu.evaluate import resolve_gallery_nodes
+
+        root, model, tree, params, proj, w_eff, folder = proj_setup
+        by_name = resolve_gallery_nodes(",".join(tree.node_names[:2]), tree)
+        assert by_name == [0, 1]
+        auto = resolve_gallery_nodes("auto:2", tree)
+        assert len(auto) == 2
+        # the root (max leaf descendants) is always in the spread
+        root_idx = int(np.argmax(tree.node_num_leaves))
+        assert root_idx in auto
+        assert resolve_gallery_nodes("auto:1000", tree) == list(
+            range(tree.num_nodes))
+        with pytest.raises(SystemExit):
+            resolve_gallery_nodes("no_such_node", tree)
+
 
 class TestAdversarial:
     def test_locs_mask(self):
@@ -385,6 +406,7 @@ class TestPallasHeadNoPF:
         np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
                                    atol=1e-5, err_msg="dL/dkernel")
 
+    @pytest.mark.slow
     def test_train_step_fused_equals_unfused(self, tiny_root, monkeypatch):
         """One full train step with use_pallas_head (interpret on CPU):
         with PIPNET_NOPF_HEAD=1 (the path is opt-in since the round-3

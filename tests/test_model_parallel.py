@@ -69,6 +69,7 @@ class TestStateShardings:
 
 
 class TestModelParallelDeterminism:
+    @pytest.mark.slow
     def test_replicated_vs_4x2_mesh(self, tiny_root):
         """Same batch through a 1-device run and a (4 data x 2 model) mesh:
         identical loss and identical updated head params — GSPMD's collectives
@@ -154,6 +155,7 @@ class TestZero1:
                 (d,) = [i for i, ax in enumerate(s.spec) if ax == "data"]
                 assert l.shape[d] % 8 == 0
 
+    @pytest.mark.slow
     def test_zero1_matches_replicated(self, tiny_root):
         """One train step with ZeRO-1-sharded moments reproduces the
         replicated run bit-for-bit up to GSPMD reduction order."""
@@ -188,6 +190,7 @@ class TestZero1:
         for a, b in zip(results["rep"][1:], results["z1"][1:]):
             np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
 
+    @pytest.mark.slow
     def test_trainer_zero1_epoch(self, tiny_root, tmp_path):
         """Trainer end-to-end with --zero1: moments stay in the ZeRO-1
         layout across steps (out_shardings pins it) and params replicated."""
@@ -222,6 +225,7 @@ class TestZero1:
 
 
 class TestTrainerModelParallel:
+    @pytest.mark.slow
     def test_trainer_builds_2d_mesh_and_steps(self, tiny_root, tmp_path):
         from pipnet_tpu.data.loader import build_loaders
         from pipnet_tpu.data.synthetic import generate_synthetic_dataset

@@ -307,6 +307,7 @@ class TestResNetPruneDriver:
 
 
 class TestClipGrad:
+    @pytest.mark.slow
     def test_clip_bounds_update(self):
         """--clip_grad bounds the global update magnitude: with an
         aggressive clip the post-step parameter delta shrinks vs unclipped,
@@ -411,6 +412,7 @@ class TestClipGradPerGroup:
 
 
 class TestUnfreezeWarmup:
+    @pytest.mark.slow
     def test_backbone_lr_ramp(self):
         """--unfreeze_warmup_epochs ramps ONLY the deep-backbone group's lr
         from 0 after the freeze_epochs unfreeze: at ramp 0 the stage2
@@ -943,6 +945,7 @@ class TestMaskedEvalDegenerateFallback:
 
 
 class TestFullDeviceAugmentStep:
+    @pytest.mark.slow
     def test_u8_base_train_step(self, tiny_root):
         """One train step from the RESIZED BASE uint8 input: the step must
         statically dispatch to device transform1 (TA-geo warp + flip + RRC,
