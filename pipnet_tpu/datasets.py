@@ -24,9 +24,16 @@ _GRAYSCALE = {"grayscale"}
 def resolve_dataset(name: str, *, seed: int = 1) -> Tuple[str, str, Optional[str], Dict]:
     kwargs: Dict = {}
     if name.startswith("synthetic"):
+        # 'synthetic[:N[:K[:sS]]]' — N classes, K images/class, optional
+        # fixture seed override (an OOD fixture for --OOD_dataset must be
+        # generated with a DIFFERENT seed so its class cues are disjoint
+        # from the in-distribution fixture's, cf. OOD_checking.ipynb which
+        # uses a different dataset entirely)
         parts = name.split(":")
         n_classes = int(parts[1]) if len(parts) > 1 else 8
         per_class = int(parts[2]) if len(parts) > 2 else 8
+        if len(parts) > 3 and parts[3].startswith("s"):
+            seed = int(parts[3][1:])
         from .data.synthetic import FIXTURE_VERSION
         root = os.path.join(
             tempfile.gettempdir(),

@@ -370,3 +370,18 @@ class TestHierarchicalFixture:
         assert set.intersection(*sets)               # root shared by all
         full = [frozenset(a) | {7 + ci} for ci, a in ancestors.items()]
         assert len(set(full)) == 8                   # leaf marker disambiguates
+
+
+def test_resolve_dataset_synthetic_seed_override():
+    """'synthetic:N:K:sS' pins the fixture seed: an --OOD_dataset fixture
+    must be generated with a DIFFERENT seed than the in-distribution one so
+    its class cues are disjoint (OOD_checking.ipynb uses a separate dataset;
+    the synthetic analog is a separate seed)."""
+    from pipnet_tpu.datasets import resolve_dataset
+
+    tr_default, _, _, _ = resolve_dataset("synthetic:4:2", seed=1)
+    tr_s7, _, _, kw = resolve_dataset("synthetic:4:2:s7", seed=1)
+    assert tr_default != tr_s7
+    assert tr_s7.split("_")[-1].startswith("7") or "_7_" in tr_s7 or tr_s7.endswith("7/train")
+    import os
+    assert os.path.isdir(tr_s7) and os.path.isfile(kw["phylo_path"])
