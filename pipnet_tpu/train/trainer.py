@@ -548,6 +548,21 @@ class Trainer:
         except OSError:
             pass
         info["live_arrays"] = float(len(jax.live_arrays()))
+        # classifier-sparsity trajectory (the PRODUCT metric of PIP-Net:
+        # relu(W) kills connections permanently; ref pipnet/test.py:90-96
+        # reports global/local explanation size from the trained weights) —
+        # one small fetch per epoch makes the sparsification visible in the
+        # metric trail instead of only in the final eval report
+        try:
+            w = np.asarray(self.state.params["head"]["cls_weight"])
+            mask = np.asarray(self.tree.class_mask
+                              if self.cfg.model.head.protopool
+                              else self.tree.child_block_mask)
+            w_eff = np.maximum(w, 0.0) * mask
+            info["nonzero_protos"] = float((w_eff > 1e-3).any(axis=0).sum())
+            info["nonzero_connections"] = float((w_eff > 1e-3).sum())
+        except (KeyError, TypeError):
+            pass
         info["net_t_end"] = net_t0 + n_steps
         with np.errstate(invalid="ignore"):
             info["node_accuracy"] = np.where(node_examples > 0,
