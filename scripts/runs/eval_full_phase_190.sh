@@ -19,7 +19,7 @@ set -e
 RUN_DIR=${1:-./runs/sparse_190}
 python -m pipnet_tpu.evaluate --run_dir "$RUN_DIR" \
   --OOD_dataset synthetic:20:24:s9 \
-  --threshold_prune 0.1 \
+  --threshold_prune 0.4 \
   --galleries_nodes auto:6
 python -m pipnet_tpu.evaluate --run_dir "$RUN_DIR" \
   --apply_overspecificity_mask --fixed_mask_seed 0 --skip_per_node
