@@ -32,12 +32,21 @@
 # pretrained representation.  The honest analog in this sandbox is to
 # sparsify OUR working representation: resume the 6.3%-top-1 survival
 # artifact (runs/full_phase_190, 40 epochs) and train 20 further epochs
-# at the reference classifier lr 0.05 with warm restarts (epoch_frac
-# restarts at 10-epoch boundaries -> full-amplitude restart right at the
-# resume point), keeping every other hyperparameter of the base recipe.
-# epochs_finetune_mask_prune 58 keeps the classifier/backbone training
-# through epoch 58 (the base run froze everything but presence from 35),
-# with a 2-epoch mask-only tail.
+# at the reference classifier lr 0.05 with warm restarts.
+#
+# A fourth measured arm fixed the phase: with the ADD-ONS still live
+# (lr_block*10 = 1e-3) the hot sparse classifier's class gradient
+# concentrates each node's softmax mass and the prototype-death cascade
+# returns after exactly two epochs — which were spectacular (top-1 5.2%
+# -> 9.8%, nonzero prototypes 3780 -> 2887) before tanh went 0.4 -> 3.2
+# and acc fell to chance (runs/ablations_r4/
+# sparse190_cont_addons_live_collapse, epochs 53-57).  So the
+# continuation runs in the reference's own finetune_classifier phase
+# (main.py:523-626: epoch <= epochs_finetune_classifier trains ONLY the
+# classifier + presence logits): the representation is frozen,
+# prototypes cannot die, and the classifier sparsifies against fixed
+# pooled features — PIP-Net's original sparse-classifier training mode,
+# driven by the same weighted NLL + relu(W) absorbing boundary.
 #
 # Usage: cp -r runs/full_phase_190 runs/sparse_190 && bash this script.
 python -m pipnet_tpu.main \
@@ -46,8 +55,8 @@ python -m pipnet_tpu.main \
   --net convnext_tiny_26 \
   --batch_size 64 --batch_size_pretrain 96 \
   --epochs 60 --epochs_pretrain 12 \
-  --epochs_finetune_classifier 2 --epochs_finetune 4 \
-  --epochs_finetune_mask_prune 58 --freeze_epochs 8 \
+  --epochs_finetune_classifier 60 --epochs_finetune 0 \
+  --epochs_finetune_mask_prune 60 --freeze_epochs 8 \
   --lr 0.05 --lr_block 0.0001 --lr_net 0.000001 \
   --clip_grad 2.0 --clip_grad_per_group y \
   --unfreeze_warmup_epochs 5 --tanh_eps 0.01 --align_eps 0.01 \
