@@ -194,28 +194,6 @@ def run(argv=None) -> int:
                               trainer.state.batch_stats, loaders.project,
                               image_size=cfg.model.image_size)
 
-    if args.galleries_nodes:
-        import time as _time
-
-        from .interp import save_hierarchy_galleries
-        from .interp.hierarchy_viz import make_heatmap_forward
-        node_idx = resolve_gallery_nodes(args.galleries_nodes, tree)
-        t0 = _time.perf_counter()
-        hm_fwd = make_heatmap_forward(model, tree, trainer.state.params,
-                                      trainer.state.batch_stats, proj)
-        gdir = os.path.join(args.run_dir, "node_galleries")
-        written = save_hierarchy_galleries(
-            proj, tree, w_eff,
-            np.asarray(trainer.state.params["head"]["proto_presence"]),
-            gdir, k=10, heatmap_forward=hm_fwd, nodes=node_idx)
-        result["node_galleries"] = {
-            "nodes": [tree.node_names[i] for i in node_idx],
-            "files": len(written), "dir": gdir,
-            "seconds": round(_time.perf_counter() - t0, 1),
-        }
-        print(f"node galleries: {len(written)} files in "
-              f"{result['node_galleries']['seconds']}s -> {gdir}")
-
     if args.part_purity_csv:
         csv_path = os.path.join(args.run_dir, "topk_patches.csv")
         write_topk_patch_csv(proj, csv_path, k=10, tree=tree, w_eff=w_eff)
@@ -267,6 +245,36 @@ def run(argv=None) -> int:
     report_path = os.path.join(args.run_dir, f"eval_report{suffix}.json")
     with open(report_path, "w") as f:
         json.dump(result, f, indent=2, default=float)
+
+    # galleries LAST, after the metrics are already on disk: a gallery
+    # failure (e.g. an OOM at an unusually large node) must not lose the
+    # eval numbers (measured: the round-4 sweep's first attempt died in
+    # the root-node heatmap forward and took the whole report with it)
+    if args.galleries_nodes:
+        import time as _time
+
+        from .interp import save_hierarchy_galleries
+        from .interp.hierarchy_viz import make_heatmap_forward
+        node_idx = resolve_gallery_nodes(args.galleries_nodes, tree)
+        t0 = _time.perf_counter()
+        hm_fwd = make_heatmap_forward(model, tree, trainer.state.params,
+                                      trainer.state.batch_stats, proj)
+        gdir = os.path.join(args.run_dir, "node_galleries")
+        written = save_hierarchy_galleries(
+            proj, tree, w_eff,
+            np.asarray(trainer.state.params["head"]["proto_presence"]),
+            gdir, k=10, heatmap_forward=hm_fwd, nodes=node_idx)
+        result["node_galleries"] = {
+            "nodes": [tree.node_names[i] for i in node_idx],
+            "files": len(written), "dir": gdir,
+            "seconds": round(_time.perf_counter() - t0, 1),
+        }
+        print(f"node galleries: {len(written)} files in "
+              f"{result['node_galleries']['seconds']}s -> {gdir}")
+
+        with open(report_path, "w") as f:
+            json.dump(result, f, indent=2, default=float)
+
     print(json.dumps(result, indent=2, default=float))
     print(f"report written to {report_path}")
     return 0

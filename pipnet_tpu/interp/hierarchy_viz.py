@@ -96,25 +96,38 @@ def make_heatmap_forward(model, tree: TreeArrays, params, batch_stats,
         return jax.lax.dynamic_index_in_dim(out["proto_features"], p,
                                             axis=3, keepdims=False)
 
+    # cap the re-forward batch: the head materializes a transient
+    # (B, HW, P) map, ~5 MB/image bf16 at flagship shapes — a ROOT-node
+    # gallery gathers top-k images over EVERY leaf descendant (190 leaves
+    # * k = up to ~1900 images), which as ONE batch is a ~10 GB HLO temp
+    # and OOMs the 16 GB chip (measured, round-4 eval sweep); 64-image
+    # chunks keep the temp <350 MB with no throughput loss at this size
+    max_b = 64
+
     def forward(image_indices, proto_idx):
         # decode via the shared u8 cache (EvalTransform == resize+normalize)
         xs = [(_load(proj, idx).astype(np.float32) / 255.0 - mean) / std
               for idx in image_indices]
-        batch = np.stack(xs)
-        # pad the leading dim to a power-of-two bucket: this function is
-        # called once per prototype with a data-dependent image count, and
-        # every DISTINCT batch size is a fresh XLA compile (~1 min at 224²;
-        # unbucketed, a 47-node gallery sweep spent hours compiling)
-        n = batch.shape[0]
-        bucket = 1
-        while bucket < n:
-            bucket *= 2
-        if bucket != n:
-            batch = np.concatenate(
-                [batch, np.zeros((bucket - n, *batch.shape[1:]), batch.dtype)])
-        maps = one_map(params, batch_stats, jnp.asarray(batch),
-                       jnp.asarray(proto_idx, jnp.int32))
-        return np.asarray(maps)[:n]                       # (B, H, W)
+        out = []
+        for start in range(0, len(xs), max_b):
+            batch = np.stack(xs[start:start + max_b])
+            # pad the leading dim to a power-of-two bucket: this function
+            # is called once per prototype with a data-dependent image
+            # count, and every DISTINCT batch size is a fresh XLA compile
+            # (~1 min at 224²; unbucketed, a 47-node gallery sweep spent
+            # hours compiling)
+            n = batch.shape[0]
+            bucket = 1
+            while bucket < n:
+                bucket *= 2
+            if bucket != n:
+                batch = np.concatenate(
+                    [batch,
+                     np.zeros((bucket - n, *batch.shape[1:]), batch.dtype)])
+            maps = one_map(params, batch_stats, jnp.asarray(batch),
+                           jnp.asarray(proto_idx, jnp.int32))
+            out.append(np.asarray(maps)[:n])
+        return np.concatenate(out)                        # (B, H, W)
 
     return forward
 
