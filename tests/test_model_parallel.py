@@ -106,9 +106,14 @@ class TestModelParallelDeterminism:
         for a, b in zip(results["rep"][1:], results["mp"][1:]):
             np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
 
+    @pytest.mark.slow
     def test_sharded_proto_maps_layout(self, tiny_root):
         """The forward actually computes with P sharded: the proto-map
-        activation's sharding carries the model axis when the params do."""
+        activation's sharding carries the model axis when the params do.
+
+        Slow-bucketed (62 s on the 1-core host, all GSPMD compile): the
+        fast suite keeps model-parallel coverage through the cheap spec
+        assertions (TestStateShardings, TestZero1.test_zero1_specs)."""
         model, tree, cfg = _setup(tiny_root)
         mesh = dp_mp_mesh(4, 2)
         state = init_train_state(model, jax.random.PRNGKey(0),
