@@ -44,6 +44,42 @@ def sparsity_stats(w_eff: np.ndarray, pooled: Optional[np.ndarray] = None,
     return stats
 
 
+def pred_path_explanation_size(pooled: np.ndarray, w_eff: np.ndarray,
+                               leaf_child_col: np.ndarray,
+                               leaf_under_node: np.ndarray,
+                               preds: np.ndarray,
+                               threshold: float = 1e-3) -> Dict[str, float]:
+    """Per-image explanation size of the PREDICTION — the hierarchical
+    analog of the reference's per-predicted-class evidence count
+    (``SimANZCC`` / ``correct_class_sim_scores_anz``, pipnet/test.py:56-62,
+    the stat whose headline value is "tens" for a sparse PIP-Net head):
+    prototypes with pooled > threshold whose classifier weight into an
+    on-path child column (the predicted leaf's root->leaf path) is
+    > threshold.  ``local_size_mean`` (sparsity_stats) counts pairs over
+    ALL child columns and so scales with the number of classes; this stat
+    is what a user reads as "how many patches explain this prediction".
+
+    Also returns ``almost_nonzeros_mean`` — the reference's ANZ
+    (pipnet/test.py:64-65): mean per-image count of pooled > threshold
+    (after the inference clamp, so effectively pooled > 0.1).
+    """
+    L, _ = leaf_child_col.shape
+    C = w_eff.shape[0]
+    path_mask = np.zeros((L, C), np.float32)
+    for leaf in range(L):
+        cols = leaf_child_col[leaf][leaf_under_node[leaf]]
+        path_mask[leaf, cols[cols >= 0]] = 1.0
+    # counts[b, c] = |{p : pooled[b,p] > th and w_eff[c,p] > th}| via a bool
+    # matmul — avoids materializing (B, C, P)
+    counts = (pooled > threshold).astype(np.float32) @ \
+        (w_eff > threshold).astype(np.float32).T
+    per_img = (counts * path_mask[preds]).sum(axis=1)
+    return {
+        "local_size_pred_path_mean": float(per_img.mean()),
+        "almost_nonzeros_mean": float((pooled > threshold).sum(axis=1).mean()),
+    }
+
+
 def abstained_count(scores: np.ndarray) -> int:
     """Images where the top class score is 0 (ref pipnet/test.py:66-70)."""
     return int((scores.max(axis=-1) <= 0.0).sum())

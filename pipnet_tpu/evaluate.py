@@ -135,7 +135,8 @@ def run(argv=None) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from .eval.metrics import abstained_count, eval_ood
+    from .eval.metrics import (abstained_count, eval_ood,
+                               pred_path_explanation_size)
     from .train.step import make_eval_step
     from .train.trainer import evaluate_per_node
 
@@ -169,6 +170,9 @@ def run(argv=None) -> int:
 
     scores, pooled, logits, ys = collect(loaders.test)
     result.update(sparsity_stats(w_eff, pooled))
+    result.update(pred_path_explanation_size(
+        pooled, w_eff, tree.leaf_child_col, tree.leaf_under_node,
+        np.argmax(scores, axis=-1)))
     # abstain: no positive classifier evidence anywhere (ref pipnet/test.py:66-70)
     result["abstained"] = abstained_count(logits)
 
@@ -243,6 +247,19 @@ def run(argv=None) -> int:
     if args.path_prob_softmax_tau != 1.0:
         suffix += f"_tau{args.path_prob_softmax_tau:g}"
     report_path = os.path.join(args.run_dir, f"eval_report{suffix}.json")
+    # merge-on-write: a cheaper re-run (e.g. --skip_per_node, no --OOD_dataset)
+    # refreshes only the keys it computed and keeps the expensive sections
+    # (per_node sweep, ood, threshold_prune) from the previous report of the
+    # SAME suffix, instead of silently dropping them.  Delete the file for a
+    # from-scratch report.
+    if os.path.exists(report_path):
+        try:
+            with open(report_path) as f:
+                merged = json.load(f)
+            merged.update(result)
+            result = merged
+        except (json.JSONDecodeError, OSError):
+            pass
     with open(report_path, "w") as f:
         json.dump(result, f, indent=2, default=float)
 
