@@ -53,27 +53,28 @@ def pred_path_explanation_size(pooled: np.ndarray, w_eff: np.ndarray,
     analog of the reference's per-predicted-class evidence count
     (``SimANZCC`` / ``correct_class_sim_scores_anz``, pipnet/test.py:56-62,
     the stat whose headline value is "tens" for a sparse PIP-Net head):
-    prototypes with pooled > threshold whose classifier weight into an
-    on-path child column (the predicted leaf's root->leaf path) is
-    > threshold.  ``local_size_mean`` (sparsity_stats) counts pairs over
-    ALL child columns and so scales with the number of classes; this stat
-    is what a user reads as "how many patches explain this prediction".
+    (prototype, on-path child column) pairs whose EVIDENCE PRODUCT
+    ``pooled * weight`` exceeds the threshold, summed over the predicted
+    leaf's root->leaf path — the reference thresholds the product
+    ``|pooled * weight| > 1e-3`` (pipnet/test.py:56-58), not the factors.
+    ``local_size_mean`` (sparsity_stats) counts pairs over ALL child
+    columns and so scales with the number of classes; this stat is what a
+    user reads as "how many patches explain this prediction".
 
     Also returns ``almost_nonzeros_mean`` — the reference's ANZ
     (pipnet/test.py:64-65): mean per-image count of pooled > threshold
     (after the inference clamp, so effectively pooled > 0.1).
     """
-    L, _ = leaf_child_col.shape
-    C = w_eff.shape[0]
-    path_mask = np.zeros((L, C), np.float32)
-    for leaf in range(L):
+    per_img = np.zeros(len(preds), np.float64)
+    # group by predicted leaf: each group shares its few on-path columns, so
+    # the product threshold runs on (B_leaf, path_len, P) slabs instead of a
+    # full (B, C, P) tensor
+    for leaf in np.unique(preds):
         cols = leaf_child_col[leaf][leaf_under_node[leaf]]
-        path_mask[leaf, cols[cols >= 0]] = 1.0
-    # counts[b, c] = |{p : pooled[b,p] > th and w_eff[c,p] > th}| via a bool
-    # matmul — avoids materializing (B, C, P)
-    counts = (pooled > threshold).astype(np.float32) @ \
-        (w_eff > threshold).astype(np.float32).T
-    per_img = (counts * path_mask[preds]).sum(axis=1)
+        cols = cols[cols >= 0]
+        sel = preds == leaf
+        prod = pooled[sel][:, None, :] * w_eff[cols][None, :, :]
+        per_img[sel] = (prod > threshold).sum(axis=(1, 2))
     return {
         "local_size_pred_path_mean": float(per_img.mean()),
         "almost_nonzeros_mean": float((pooled > threshold).sum(axis=1).mean()),

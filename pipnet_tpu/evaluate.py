@@ -56,12 +56,20 @@ def run(argv=None) -> int:
                         "report (ref pipnet/test.py:242-292 / OOD_checking.ipynb)")
     p.add_argument("--skip_per_node", action="store_true",
                    help="skip the per-node accuracy/F1 sweep")
-    p.add_argument("--threshold_prune", type=float, default=None,
+    p.add_argument("--threshold_prune", default=None,
                    help="prune_by_threshold.ipynb cells 11-14: zero the "
                         "classifier columns of prototypes whose top-k mean "
                         "activation over ANY relevant leaf's projection "
                         "images falls below this threshold; writes "
-                        "prototype_report.txt and re-evaluates")
+                        "prototype_report.txt and re-evaluates.  A comma-"
+                        "separated list sweeps thresholds (the accuracy-vs-"
+                        "pruned curve) computing the projection stats once")
+    p.add_argument("--prune_leaf_parents", action="store_true",
+                   help="with --threshold_prune: ALSO prune prototypes at "
+                        "nodes whose children are all leaves — the reference "
+                        "notebook exempts those nodes (cell 11's "
+                        "non_leaf_children check); this flag reproduces the "
+                        "round-4 non-reference behavior for A/B")
     p.add_argument("--part_purity_csv", action="store_true",
                    help="write the per-prototype top-k patch-box CSV "
                         "(util/eval_cub_csv.py get_topk_cub); with the three "
@@ -192,8 +200,8 @@ def run(argv=None) -> int:
     if (args.threshold_prune is not None or args.part_purity_csv
             or args.galleries_nodes):
         from .interp import (eval_prototypes_parts_csv, prototype_report,
-                             run_projection, threshold_prune,
-                             write_topk_patch_csv)
+                             run_projection, write_topk_patch_csv)
+        from .interp.pruning import apply_threshold_prune, prune_means
         proj = run_projection(model, tree, trainer.state.params,
                               trainer.state.batch_stats, loaders.project,
                               image_size=cfg.model.image_size)
@@ -209,10 +217,12 @@ def run(argv=None) -> int:
 
     if args.threshold_prune is not None:
         # zero overspecific prototypes' classifier columns, report, re-test
-        # (ref prune_by_threshold.ipynb cells 11-14: accuracy before/after)
+        # (ref prune_by_threshold.ipynb cells 11-14: accuracy before/after);
+        # a comma-separated threshold list sweeps the accuracy-vs-pruned
+        # curve off ONE projection pass
+        thresholds = [float(t) for t in str(args.threshold_prune).split(",")]
         cls_w = np.asarray(trainer.state.params["head"]["cls_weight"])
-        new_w, _means = threshold_prune(proj, tree, cls_w, w_eff,
-                                        threshold=args.threshold_prune)
+        means = prune_means(proj, tree, w_eff)
         report = prototype_report(
             proj, tree, w_eff,
             np.asarray(trainer.state.params["head"]["proto_presence"]))
@@ -220,23 +230,35 @@ def run(argv=None) -> int:
         with open(rp, "w") as f:
             f.write(report + "\n")
         dead_before = int((np.abs(cls_w).sum(0) == 0).sum())
-        dead_after = int((np.abs(new_w).sum(0) == 0).sum())
-        pruned_params = dict(trainer.state.params)
-        pruned_params["head"] = dict(pruned_params["head"])
-        pruned_params["head"]["cls_weight"] = jnp.asarray(new_w)
         state_before = trainer.state
-        trainer.state = trainer.state._replace(params=pruned_params)
-        after = trainer.evaluate(
-            loaders.test, leave_out_classes=leave_out,
-            apply_overspecificity_mask=args.apply_overspecificity_mask,
-            path_prob_softmax_tau=args.path_prob_softmax_tau)
+        sweep = []
+        for t in thresholds:
+            new_w = apply_threshold_prune(
+                means, tree, cls_w, threshold=t,
+                include_leaf_parent_nodes=args.prune_leaf_parents)
+            dead_after = int((np.abs(new_w).sum(0) == 0).sum())
+            pruned_params = dict(trainer.state.params)
+            pruned_params["head"] = dict(pruned_params["head"])
+            pruned_params["head"]["cls_weight"] = jnp.asarray(new_w)
+            trainer.state = state_before._replace(params=pruned_params)
+            after = trainer.evaluate(
+                loaders.test, leave_out_classes=leave_out,
+                apply_overspecificity_mask=args.apply_overspecificity_mask,
+                path_prob_softmax_tau=args.path_prob_softmax_tau)
+            sweep.append({
+                "threshold": t,
+                "pruned_columns": dead_after - dead_before,
+                "top1_after": after["top1"], "top5_after": after["top5"],
+            })
+            print(f"threshold_prune {t}: pruned {dead_after - dead_before} "
+                  f"columns, top1 {result['top1']:.4f} -> {after['top1']:.4f}")
         trainer.state = state_before
         result["threshold_prune"] = {
-            "threshold": args.threshold_prune,
-            "pruned_columns": dead_after - dead_before,
-            "top1_before": result["top1"], "top1_after": after["top1"],
-            "top5_before": result["top5"], "top5_after": after["top5"],
+            **sweep[0],
+            "top1_before": result["top1"], "top5_before": result["top5"],
+            "prune_leaf_parents": bool(args.prune_leaf_parents),
             "prototype_report": rp,
+            "sweep": sweep,
         }
 
     suffix = ""
@@ -250,14 +272,27 @@ def run(argv=None) -> int:
     # merge-on-write: a cheaper re-run (e.g. --skip_per_node, no --OOD_dataset)
     # refreshes only the keys it computed and keeps the expensive sections
     # (per_node sweep, ood, threshold_prune) from the previous report of the
-    # SAME suffix, instead of silently dropping them.  Delete the file for a
-    # from-scratch report.
+    # SAME suffix, instead of silently dropping them.  Carry-over is gated on
+    # checkpoint identity: a report produced from a DIFFERENT checkpoint (the
+    # run trained further, or --checkpoint changed) is discarded, not mixed —
+    # stale per_node/ood sections next to fresh top-1 would read as one
+    # coherent evaluation.  Delete the file for a from-scratch report.
+    result["checkpoint_id"] = {
+        "checkpoint": args.checkpoint,
+        "epoch": bundle.extra.get("epoch"),
+        "phase": bundle.extra.get("phase"),
+    }
     if os.path.exists(report_path):
         try:
             with open(report_path) as f:
                 merged = json.load(f)
-            merged.update(result)
-            result = merged
+            if merged.get("checkpoint_id") == result["checkpoint_id"]:
+                merged.update(result)
+                result = merged
+            else:
+                print(f"eval_report: previous report was from checkpoint "
+                      f"{merged.get('checkpoint_id')}, current is "
+                      f"{result['checkpoint_id']}; starting fresh")
         except (json.JSONDecodeError, OSError):
             pass
     with open(report_path, "w") as f:

@@ -20,25 +20,58 @@ from ..tree.compile import TreeArrays
 from .topk import ProjectionResult, topk_per_prototype_per_leaf
 
 
+def prune_means(proj: ProjectionResult, tree: TreeArrays,
+                w_eff: np.ndarray, *, topk: int = 10
+                ) -> Dict[int, Dict[int, float]]:
+    """Per-prototype, per-relevant-leaf mean of the top-k pooled activations
+    (the pruning statistic of ``prune_by_threshold.ipynb`` cell 11) —
+    threshold-independent, so a sweep computes it once."""
+    per_leaf_topk = topk_per_prototype_per_leaf(proj, tree, w_eff, k=topk)
+    return {p: {li: float(np.mean([s for _, s in entries]))
+                for li, entries in leaf_map.items()}
+            for p, leaf_map in per_leaf_topk.items() if leaf_map}
+
+
+def apply_threshold_prune(means: Dict[int, Dict[int, float]],
+                          tree: TreeArrays, cls_weight: np.ndarray,
+                          *, threshold: float = 0.4,
+                          include_leaf_parent_nodes: bool = False
+                          ) -> np.ndarray:
+    """Zero the classifier columns of prototypes whose top-k mean activation
+    falls below ``threshold`` for ANY relevant leaf descendant.
+
+    The reference prunes ONLY at nodes with at least one internal (non-leaf)
+    child — its loop starts with ``if len(non_leaf_children_names) == 0:
+    continue`` (prune_by_threshold.ipynb cell 11), so prototypes at
+    leaf-parent nodes (the bulk of a binary phylogeny, and the ones doing
+    the final species discrimination) are NEVER pruned.  Round 4 pruned
+    them too, and top-1 collapsed 19.2% -> 4.0%; ``include_leaf_parent_nodes``
+    keeps that non-reference behavior available for A/B."""
+    new_w = np.array(cls_weight)
+    for p, m in means.items():
+        if not include_leaf_parent_nodes:
+            ni = int(tree.proto_node[p])
+            cs = tree.node_child_slice(ni)
+            if bool(np.asarray(tree.child_is_leaf[cs]).all()):
+                continue
+        if any(v < threshold for v in m.values()):
+            new_w[:, p] = 0.0
+    return new_w
+
+
 def threshold_prune(proj: ProjectionResult, tree: TreeArrays,
                     cls_weight: np.ndarray, w_eff: np.ndarray,
-                    *, threshold: float = 0.4, topk: int = 10
+                    *, threshold: float = 0.4, topk: int = 10,
+                    include_leaf_parent_nodes: bool = False
                     ) -> Tuple[np.ndarray, Dict[int, Dict[int, float]]]:
     """Returns (pruned classifier weight, per-proto per-leaf mean activations).
 
     ``cls_weight`` is the raw (C, P) parameter; ``w_eff`` the effective
     (relu+mask) weights used for relevance thresholds."""
-    per_leaf_topk = topk_per_prototype_per_leaf(proj, tree, w_eff, k=topk)
-    new_w = np.array(cls_weight)
-    means: Dict[int, Dict[int, float]] = {}
-    for p, leaf_map in per_leaf_topk.items():
-        if not leaf_map:
-            continue
-        m = {li: float(np.mean([s for _, s in entries]))
-             for li, entries in leaf_map.items()}
-        means[p] = m
-        if any(v < threshold for v in m.values()):
-            new_w[:, p] = 0.0
+    means = prune_means(proj, tree, w_eff, topk=topk)
+    new_w = apply_threshold_prune(
+        means, tree, cls_weight, threshold=threshold,
+        include_leaf_parent_nodes=include_leaf_parent_nodes)
     return new_w, means
 
 

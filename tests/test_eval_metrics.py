@@ -29,27 +29,41 @@ class TestPredPathExplanationSize:
         preds = np.asarray([0, 0, 1])
         out = pred_path_explanation_size(
             pooled, w_eff, tree.leaf_child_col, tree.leaf_under_node, preds)
-        # expected: for each node on the path, the on-path child column's
-        # block width (2 protos per child with this budget)
+        assert C == w_eff.shape[0]
+        # per-image equality for EVERY prediction: run the stat on each
+        # single-image slice and compare against the on-path pair count
+        # (with pooled == w_eff == 1, product == factor thresholding)
+        expects = []
         for i, leaf in enumerate(preds):
             cols = tree.leaf_child_col[leaf][tree.leaf_under_node[leaf]]
             cols = cols[cols >= 0]
             expect = sum(int((w_eff[c] > 1e-3).sum()) for c in cols)
-            counts = (pooled > 1e-3).astype(np.float32) @ \
-                (w_eff > 1e-3).astype(np.float32).T
-            assert counts.shape == (3, C)
-            if i == 0:
-                assert out["local_size_pred_path_mean"] <= sparsity_stats(
-                    w_eff, pooled)["local_size_mean"]
             assert expect > 0
-        # mean over identical-path images equals the per-leaf expectation
-        cols0 = tree.leaf_child_col[0][tree.leaf_under_node[0]]
-        cols0 = cols0[cols0 >= 0]
-        expect0 = sum(int((w_eff[c] > 1e-3).sum()) for c in cols0)
-        per_img0 = pred_path_explanation_size(
-            pooled[:1], w_eff, tree.leaf_child_col, tree.leaf_under_node,
-            preds[:1])["local_size_pred_path_mean"]
-        assert per_img0 == expect0
+            per_img = pred_path_explanation_size(
+                pooled[i:i + 1], w_eff, tree.leaf_child_col,
+                tree.leaf_under_node, preds[i:i + 1])
+            assert per_img["local_size_pred_path_mean"] == expect
+            expects.append(expect)
+        assert out["local_size_pred_path_mean"] == np.mean(expects)
+        assert out["local_size_pred_path_mean"] <= sparsity_stats(
+            w_eff, pooled)["local_size_mean"]
+
+    def test_product_threshold_matches_reference(self, tiny_root):
+        # the reference thresholds |pooled * weight| > 1e-3
+        # (pipnet/test.py:56-58), NOT the factors: pooled 0.1 with weight
+        # 0.005 has both factors above 1e-3 but product 5e-4 -> not counted
+        tree = _tree(tiny_root)
+        pooled = np.full((1, tree.num_protos_padded), 0.1, np.float32)
+        w_eff = np.asarray(tree.child_block_mask, np.float32) * 0.005
+        out = pred_path_explanation_size(
+            pooled, w_eff, tree.leaf_child_col, tree.leaf_under_node,
+            np.asarray([0]))
+        assert out["local_size_pred_path_mean"] == 0.0
+        # raise the weights so the product clears the threshold
+        out2 = pred_path_explanation_size(
+            pooled, w_eff * 10, tree.leaf_child_col, tree.leaf_under_node,
+            np.asarray([0]))
+        assert out2["local_size_pred_path_mean"] > 0.0
 
     def test_zero_pooled_gives_zero(self, tiny_root):
         tree = _tree(tiny_root)

@@ -90,9 +90,28 @@ class TestPruning:
         cls_w = np.asarray(params["head"]["cls_weight"])
         new_w, means = threshold_prune(proj, tree, cls_w, w_eff,
                                        threshold=2.0, topk=2)
-        # threshold 2.0 > softmax max 1.0 -> everything pruned
+
+        # the reference exempts nodes whose children are all leaves
+        # (prune_by_threshold.ipynb cell 11: non_leaf_children_names == []
+        # -> continue); threshold 2.0 > softmax max 1.0 prunes everything
+        # else
+        def leaf_parent(p):
+            cs = tree.node_child_slice(int(tree.proto_node[p]))
+            return bool(np.asarray(tree.child_is_leaf[cs]).all())
+
+        assert any(leaf_parent(p) for p in means)
+        assert any(not leaf_parent(p) for p in means)
         for p in means:
-            assert (new_w[:, p] == 0).all()
+            if leaf_parent(p):
+                assert np.array_equal(new_w[:, p], cls_w[:, p])
+            else:
+                assert (new_w[:, p] == 0).all()
+        # the round-4 A/B switch prunes leaf parents too
+        new_w_all, _ = threshold_prune(proj, tree, cls_w, w_eff,
+                                       threshold=2.0, topk=2,
+                                       include_leaf_parent_nodes=True)
+        for p in means:
+            assert (new_w_all[:, p] == 0).all()
         new_w2, _ = threshold_prune(proj, tree, cls_w, w_eff, threshold=0.0)
         assert np.array_equal(new_w2, cls_w)
 
