@@ -253,7 +253,12 @@ def run(argv=None) -> int:
             print(f"threshold_prune {t}: pruned {dead_after - dead_before} "
                   f"columns, top1 {result['top1']:.4f} -> {after['top1']:.4f}")
         trainer.state = state_before
-        result["threshold_prune"] = {
+        # the non-reference A/B (leaf parents pruned too) gets its own key
+        # so a later merge-on-write never clobbers the reference-criterion
+        # sweep with A/B numbers
+        key = ("threshold_prune_leaf_parents_ab" if args.prune_leaf_parents
+               else "threshold_prune")
+        result[key] = {
             **sweep[0],
             "top1_before": result["top1"], "top5_before": result["top5"],
             "prune_leaf_parents": bool(args.prune_leaf_parents),

@@ -11,8 +11,15 @@
 #
 # No --weighted_loss: train-time LOU and weighted sampling are mutually
 # exclusive (ref util/data.py:483-484, enforced in data/loader.py).
-# Hyperparameters otherwise match the sparse flagship
-# (scripts/runs/run_sparse_190.sh) at a shorter schedule.
+#
+# ROUND-5 CORRECTION: the committed round-4 version of this script used
+# the sparse flagship's classifier lr 0.05 FROM SCRATCH — the regime
+# three archived collapse arms measured dead (run_sparse_190.sh header);
+# its first execution ground at the tanh-3.2 plateau with prototypes
+# dying (nonzero 3780->3295 by train epoch 10).  The LOU measurement
+# needs a WORKING model, so this run uses the survival recipe the
+# full-phase flagship actually trained with (runs/full_phase_190
+# metadata: lr 0.001, 40 epochs) + train-time class filtering.
 # Post-run:
 #   python -m pipnet_tpu.evaluate --run_dir ./runs/lou_190
 #   python -m pipnet_tpu.evaluate --run_dir ./runs/lou_190 \
@@ -22,10 +29,10 @@ python -m pipnet_tpu.main \
   --dataset synthetic:190:48 \
   --net convnext_tiny_26 \
   --batch_size 64 --batch_size_pretrain 96 \
-  --epochs 30 --epochs_pretrain 10 \
-  --epochs_finetune_classifier 3 --epochs_finetune 4 \
-  --epochs_finetune_mask_prune 26 --freeze_epochs 8 \
-  --lr 0.05 --lr_block 0.0001 --lr_net 0.000001 \
+  --epochs 40 --epochs_pretrain 12 \
+  --epochs_finetune_classifier 2 --epochs_finetune 4 \
+  --epochs_finetune_mask_prune 34 --freeze_epochs 8 \
+  --lr 0.001 --lr_block 0.0001 --lr_net 0.000001 \
   --clip_grad 2.0 --clip_grad_per_group y \
   --unfreeze_warmup_epochs 5 --tanh_eps 0.01 --align_eps 0.01 \
   --image_size 224 --seed 1 \
