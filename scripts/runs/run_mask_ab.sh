@@ -28,11 +28,14 @@
 #     --apply_overspecificity_mask --fixed_mask_seed 0 --skip_per_node
 set -e
 BASE=${BASE:-./runs/sparse_190}
+# EPOCHS must exceed the base's recorded internal epoch (60 after the
+# round-4 schedule, 90 after the round-5 extension) by the 15-epoch arm
+EPOCHS=${EPOCHS:-75}
 COMMON="--dataset synthetic:190:48 --net convnext_tiny_26
   --batch_size 64 --batch_size_pretrain 96
-  --epochs 75 --epochs_pretrain 12
-  --epochs_finetune_classifier 75 --epochs_finetune 0
-  --epochs_finetune_mask_prune 75 --freeze_epochs 8
+  --epochs $EPOCHS --epochs_pretrain 12
+  --epochs_finetune_classifier $EPOCHS --epochs_finetune 0
+  --epochs_finetune_mask_prune $EPOCHS --freeze_epochs 8
   --lr 0.05 --lr_block 0.0001 --lr_net 0.000001
   --clip_grad 2.0 --clip_grad_per_group y
   --unfreeze_warmup_epochs 5 --tanh_eps 0.01 --align_eps 0.01
@@ -44,7 +47,7 @@ COMMON="--dataset synthetic:190:48 --net convnext_tiny_26
   --minimize_contrasting_set y|1|0.1
   --weighted_loss
   --compute_dtype bfloat16 --fast_gelu y --use_pallas_head y
-  --eval_every 15 --checkpoint_every 15 --final_viz n --resume"
+  --eval_every $EPOCHS --checkpoint_every 15 --final_viz n --resume"
 
 run_arm () {
   local name=$1; shift
