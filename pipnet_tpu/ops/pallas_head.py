@@ -128,9 +128,23 @@ def _run_bucket(features2d: jnp.ndarray, kernel: jnp.ndarray,
     grid = (B, ntiles)
     out_shape = (jax.ShapeDtypeStruct((B, HW, span), features2d.dtype),
                  jax.ShapeDtypeStruct((B, 1, span), jnp.float32))
+    # round-5 VMEM-budget lever (BENCH_NOTES round-5 head study): both grid
+    # dims are independent, and a raised VMEM ceiling admits wider tiles;
+    # env knobs so the sweep needs no rebuild.  compiler_params is passed
+    # ONLY when a knob is set: an explicit all-default CompilerParams wedged
+    # the axon tunnel's remote Mosaic compile (two hung launches, round 5)
+    import os as _os
+    _vl = _os.environ.get("PIPNET_HEAD_VMEM_LIMIT")
+    _par = _os.environ.get("PIPNET_HEAD_PARALLEL_GRID") == "1"
+    extra = {}
+    if _vl or _par:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel") if _par else None,
+            vmem_limit_bytes=int(_vl) if _vl else None)
     pf, pooled = pl.pallas_call(
         functools.partial(_head_kernel, tau=tau),
         grid=grid,
+        **extra,
         in_specs=[
             pl.BlockSpec((1, HW, D), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((D, tw), lambda b, j: (0, j)),
