@@ -1,0 +1,139 @@
+#!/bin/bash
+# Round-5 serialized TPU queue with an orbax/tunnel wedge watchdog.
+#
+# The axon tunnel occasionally wedges mid-checkpoint (the remote TPU
+# server stops answering; the training process idles at 0%% CPU with a
+# stale *.orbax-checkpoint-tmp dir — observed twice this round on
+# runs/lou_190).  Every training step here is --resume-safe, so the
+# watchdog kills a stalled step and retries it; after MAX_RETRY failures
+# the step is skipped so the rest of the queue still runs.
+#
+# State lives in /tmp/r5/<step>.{log,done,fail}.  Re-running this script
+# skips steps with a .done marker — safe to relaunch after any crash.
+set -u
+cd /root/repo
+mkdir -p /tmp/r5
+
+# newest mtime (epoch secs) under the given paths
+newest() {
+  local t
+  t=$(find "$@" -type f -printf '%T@\n' 2>/dev/null | sort -rn | head -1 | cut -d. -f1)
+  echo "${t:-0}"
+}
+
+# run_wd <name> <stall_secs> <max_retry> <watch_dir> -- cmd...
+run_wd() {
+  local name=$1 stall=$2 max_retry=$3 watch=$4; shift 4
+  [ "$1" = "--" ] && shift
+  if [ -f "/tmp/r5/$name.done" ]; then echo "[r5] $name: done, skip"; return 0; fi
+  local attempt=0
+  while [ $attempt -lt "$max_retry" ]; do
+    attempt=$((attempt+1))
+    echo "[r5] $name attempt $attempt: $*" | tee -a "/tmp/r5/$name.log"
+    ( "$@" ) >> "/tmp/r5/$name.log" 2>&1 &
+    local pid=$!
+    while kill -0 $pid 2>/dev/null; do
+      sleep 30
+      local last now
+      last=$(newest "$watch" "/tmp/r5/$name.log")
+      now=$(date +%s)
+      if [ $((now - last)) -gt "$stall" ]; then
+        echo "[r5] $name: STALL >${stall}s (last write $((now-last))s ago), killing $pid" \
+          | tee -a "/tmp/r5/$name.log"
+        kill $pid 2>/dev/null; sleep 10; kill -9 $pid 2>/dev/null
+        # clear stale orbax tmp dirs so the resume doesn't trip on them
+        find "$watch" -maxdepth 2 -name '*orbax-checkpoint-tmp*' -exec rm -rf {} + 2>/dev/null
+        sleep 45   # let the TPU release + remote side settle
+        break
+      fi
+    done
+    if wait $pid; then
+      touch "/tmp/r5/$name.done"; echo "[r5] $name: OK"; return 0
+    fi
+    echo "[r5] $name: attempt $attempt failed/killed" | tee -a "/tmp/r5/$name.log"
+    sleep 30
+  done
+  touch "/tmp/r5/$name.fail"; echo "[r5] $name: FAILED after $max_retry attempts"; return 1
+}
+
+# ---- step 0: wait for an externally-started LOU resume (if any) ----
+if [ -f /tmp/lou.pid ] && kill -0 "$(cat /tmp/lou.pid)" 2>/dev/null; then
+  echo "[r5] waiting for running LOU pid $(cat /tmp/lou.pid)"
+  while kill -0 "$(cat /tmp/lou.pid)" 2>/dev/null; do
+    sleep 30
+    last=$(newest runs/lou_190)
+    if [ $(( $(date +%s) - last )) -gt 600 ]; then
+      echo "[r5] LOU stalled; killing for watchdog-managed resume"
+      kill "$(cat /tmp/lou.pid)" 2>/dev/null; sleep 10
+      kill -9 "$(cat /tmp/lou.pid)" 2>/dev/null
+      find runs/lou_190 -maxdepth 2 -name '*orbax-checkpoint-tmp*' -exec rm -rf {} + 2>/dev/null
+      sleep 45
+      break
+    fi
+  done
+fi
+# finish LOU if its last checkpoint isn't the final one
+if [ ! -d runs/lou_190/checkpoints/net_trained_last ]; then
+  run_wd lou_train 600 4 runs/lou_190 -- bash scripts/runs/run_lou_190.sh --resume
+else
+  touch /tmp/r5/lou_train.done
+fi
+
+# ---- step 1: LOU evals (held-in plain + left-out LOU decode) + archive ----
+run_wd lou_eval_plain 2400 2 runs/lou_190 -- \
+  python -m pipnet_tpu.evaluate --run_dir runs/lou_190
+run_wd lou_eval_lou 2400 2 runs/lou_190 -- \
+  python -m pipnet_tpu.evaluate --run_dir runs/lou_190 \
+    --leave_out_classes configs/leave_out_synthetic190.txt --skip_per_node
+run_wd lou_archive 600 2 runs/lou_190 -- bash scripts/archive_run.sh runs/lou_190
+
+# ---- step 2: sparse extension to plateau (internal epoch 60 -> 90) ----
+run_wd sparse_ext 600 4 runs/sparse_190 -- \
+  bash scripts/runs/run_sparse_190.sh \
+    --epochs 90 --epochs_finetune_classifier 90 --epochs_finetune_mask_prune 90
+
+# ---- step 3: full eval sweep on the extended sparse artifact ----
+# (plain + OOD + threshold CURVE w/ reference criterion + leaf-parent A/B
+#  + masked decode + LOU decode + archive; eval_full_phase_190.sh ends
+#  with archive_run.sh itself)
+run_wd sparse_sweep 2400 2 runs/sparse_190 -- \
+  bash scripts/runs/eval_full_phase_190.sh runs/sparse_190
+
+# ---- step 4: masked-decode A/B (geo-mean score vs boost 1.3) ----
+run_wd mask_ab 600 4 runs/mask_ab -- \
+  env BASE=./runs/sparse_190 EPOCHS=105 bash scripts/runs/run_mask_ab.sh
+for arm in geo boost13; do
+  run_wd mask_ab_eval_$arm 2400 2 runs/mask_ab/$arm -- bash -c "
+    python -m pipnet_tpu.evaluate --run_dir runs/mask_ab/$arm --skip_per_node &&
+    python -m pipnet_tpu.evaluate --run_dir runs/mask_ab/$arm \
+      --apply_overspecificity_mask --fixed_mask_seed 0 --skip_per_node &&
+    bash scripts/archive_run.sh runs/mask_ab/$arm"
+done
+
+# ---- step 5: stabilizer ablation sweep (6 arms) ----
+run_wd ablations 600 6 runs/ablations_r4 -- \
+  bash scripts/runs/run_ablations_r4.sh ./runs/sparse_190
+run_wd ablations_table 600 2 runs/ablations_r4 -- \
+  python scripts/summarize_ablations.py runs/ablations_r4
+
+# ---- step 6: real-schedule guard (add-ons live, lr_block/10) ----
+run_wd real_guard 600 4 runs/real_schedule_guard -- \
+  bash scripts/runs/run_real_schedule_guard.sh
+run_wd real_guard_eval 2400 2 runs/real_schedule_guard -- bash -c "
+  python -m pipnet_tpu.evaluate --run_dir runs/real_schedule_guard --skip_per_node &&
+  bash scripts/archive_run.sh runs/real_schedule_guard"
+
+# ---- step 7: BYOL driver co-run ----
+run_wd byol 600 3 runs/byol_demo -- bash scripts/runs/run_byol_demo.sh
+run_wd byol_archive 600 2 runs/byol_demo -- bash scripts/archive_run.sh runs/byol_demo
+
+# ---- step 8: multi-seed sparse continuation (42, 102, 214) ----
+run_wd multi_seed 600 6 runs -- bash scripts/runs/run_multi_seed_sparse.sh
+for s in 42 102 214; do
+  run_wd seed_eval_$s 2400 2 runs/sparse_seed$s -- bash -c "
+    python -m pipnet_tpu.evaluate --run_dir runs/sparse_seed$s --skip_per_node &&
+    bash scripts/archive_run.sh runs/sparse_seed$s"
+done
+
+echo "[r5] chain complete: $(ls /tmp/r5/*.done 2>/dev/null | wc -l) done, \
+$(ls /tmp/r5/*.fail 2>/dev/null | wc -l) failed"
