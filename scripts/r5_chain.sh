@@ -30,17 +30,23 @@ run_wd() {
   while [ $attempt -lt "$max_retry" ]; do
     attempt=$((attempt+1))
     echo "[r5] $name attempt $attempt: $*" | tee -a "/tmp/r5/$name.log"
-    ( "$@" ) >> "/tmp/r5/$name.log" 2>&1 &
+    # setsid: own process group, so a watchdog kill reaches the python
+    # grandchildren (killing just the wrapper orphans them holding the
+    # run-dir lock and the TPU claim)
+    setsid "$@" >> "/tmp/r5/$name.log" 2>&1 &
     local pid=$!
+    local start=$(date +%s)
     while kill -0 $pid 2>/dev/null; do
       sleep 30
       local last now
       last=$(newest "$watch" "/tmp/r5/$name.log")
       now=$(date +%s)
+      # grace: measure stall from step start, not from stale pre-step files
+      [ "$last" -lt "$start" ] && last=$start
       if [ $((now - last)) -gt "$stall" ]; then
-        echo "[r5] $name: STALL >${stall}s (last write $((now-last))s ago), killing $pid" \
+        echo "[r5] $name: STALL >${stall}s (last write $((now-last))s ago), killing -$pid" \
           | tee -a "/tmp/r5/$name.log"
-        kill $pid 2>/dev/null; sleep 10; kill -9 $pid 2>/dev/null
+        kill -- -$pid 2>/dev/null; sleep 10; kill -9 -- -$pid 2>/dev/null
         # clear stale orbax tmp dirs so the resume doesn't trip on them
         find "$watch" -maxdepth 2 -name '*orbax-checkpoint-tmp*' -exec rm -rf {} + 2>/dev/null
         sleep 45   # let the TPU release + remote side settle
