@@ -93,6 +93,27 @@ run_wd lou_eval_lou 2400 2 runs/lou_190 -- \
     --leave_out_classes configs/leave_out_synthetic190.txt --skip_per_node
 run_wd lou_archive 600 2 runs/lou_190 -- bash scripts/archive_run.sh runs/lou_190
 
+# ---- step 1b: LOU seed-2 re-roll (fixture pinned to the s1 data) ----
+# Seed-1 collapsed: node 049+123's per-patch softmax saturated at the
+# backbone unfreeze (align_pf pinned at the eps floor, tanh pinned,
+# node acc frozen at the 53/54 majority rate), after which only
+# kernel_orth drives its kernels and the softmax-confidence runaway
+# grows its ko to 3335 — whose gradient then consumes the whole add-on
+# group's clip budget (global grad_norm 167-200 ~= this one node) and
+# starves the other 188 nodes.  Full-phase kept this node healthy at
+# identical hyperparameters, so the collapse is seed-stochastic; the
+# reference's own protocol is multi-seed (run_pipnet_20protos_multi_
+# runs_seed*.sh).  This arm re-rolls the training RNG only.
+run_wd lou_s2_train 600 4 runs/lou_190_s2 -- \
+  bash scripts/runs/run_lou_190.sh \
+    --log_dir ./runs/lou_190_s2 --dataset synthetic:190:48:s1 --seed 2 --resume
+run_wd lou_s2_eval_plain 2400 2 runs/lou_190_s2 -- \
+  python -m pipnet_tpu.evaluate --run_dir runs/lou_190_s2
+run_wd lou_s2_eval_lou 2400 2 runs/lou_190_s2 -- \
+  python -m pipnet_tpu.evaluate --run_dir runs/lou_190_s2 \
+    --leave_out_classes configs/leave_out_synthetic190.txt --skip_per_node
+run_wd lou_s2_archive 600 2 runs/lou_190_s2 -- bash scripts/archive_run.sh runs/lou_190_s2
+
 # ---- step 2: sparse extension to plateau (internal epoch 60 -> 90) ----
 run_wd sparse_ext 600 4 runs/sparse_190 -- \
   bash scripts/runs/run_sparse_190.sh \
