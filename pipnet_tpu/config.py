@@ -69,6 +69,16 @@ class LossConfig:
     tanh_desc: bool = True
     tanh_desc_weight: float = 0.05       # '--tanh_desc y|0.05'
     kernel_orth: bool = False
+    # Per-node cap on the kernel-orth term: node contributions above the cap
+    # are rescaled by cap/stop_grad(ko) so both the reported value and the
+    # restoring gradient stay bounded per node.  None = reference-exact
+    # (unbounded).  Why it exists (measured, runs/lou_190 seed 1): a node
+    # whose per-patch softmax saturates loses every live gradient except
+    # kernel_orth; the confidence runaway then grows that one node's ko to
+    # O(1000), and under global/group grad-norm clipping its gradient
+    # consumes the whole add-on group's clip budget, starving the other
+    # nodes' learning (global grad_norm 167-200 ~= one node).
+    kernel_orth_cap: Optional[float] = None
     minimize_contrasting_set: bool = False
     min_contrast_topk: int = 1
     min_contrast_weight: float = 0.1     # '--minimize_contrasting_set y|K|w'
@@ -284,6 +294,8 @@ def from_reference_flags(args) -> RunConfig:
         tanh_desc="y" in td,
         tanh_desc_weight=float(td.split("|")[1]) if ("y" in td and "|" in td) else 0.05,
         kernel_orth=_yn(get("kernel_orth", "n")),
+        kernel_orth_cap=(float(kc) if (kc := get("kernel_orth_cap", None))
+                         not in (None, "") else None),
         minimize_contrasting_set="y" in mc,
         min_contrast_topk=int(mc.split("|")[1]) if mc.count("|") >= 1 else 1,
         min_contrast_weight=float(mc.split("|")[2]) if mc.count("|") >= 2 else 0.1,

@@ -154,7 +154,8 @@ def compute_total_loss(tc: TreeConsts,
         aux["tanh_desc_per_node"] = td_pn
 
     if (not pretrain) and (not finetune) and cfg.kernel_orth:
-        ko, ko_pn = C.kernel_orth_loss(tree, tc, add_on_kernel, w_eff)
+        ko, ko_pn = C.kernel_orth_loss(tree, tc, add_on_kernel, w_eff,
+                                       cap=cfg.kernel_orth_cap)
         total = total + weights.orth * ko
         aux["kernel_orth"] = ko
         aux["kernel_orth_per_node"] = ko_pn

@@ -376,7 +376,8 @@ def ood_bce_loss(tc: TreeConsts, logits: jnp.ndarray, ys: jnp.ndarray,
 
 
 def kernel_orth_loss(tree: TreeArrays, tc: TreeConsts, add_on_kernel: jnp.ndarray,
-                     w_eff: jnp.ndarray) -> jnp.ndarray:
+                     w_eff: jnp.ndarray,
+                     cap: Optional[float] = None) -> jnp.ndarray:
     """Orthogonality of the class-relevant prototype kernels per node
     (ref pipnet/train.py:1136-1147 + orth_dist 1408-1412).
 
@@ -407,6 +408,12 @@ def kernel_orth_loss(tree: TreeArrays, tc: TreeConsts, add_on_kernel: jnp.ndarra
     nrel = jnp.concatenate(per_node_rel)
     sq = jnp.where(nrel >= D, sq - nrel + D, sq)
     per_node = jnp.sqrt(jnp.maximum(sq, 0.0))
+    if cap is not None:
+        # bounded restoring force: above the cap the node's contribution is
+        # rescaled to exactly `cap` and its gradient to (cap/ko)*d(ko) — a
+        # per-node gradient clip on this one term (see LossConfig.kernel_orth_cap)
+        per_node = per_node * (cap / jax.lax.stop_gradient(
+            jnp.maximum(per_node, cap)))
     return per_node.sum() / tc.num_nodes, per_node
 
 

@@ -82,6 +82,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     add("--phylo_config", type=str, default=None)
     add("--experiment_note", type=str, default="")
     add("--kernel_orth", type=str, default="n")
+    # Per-node bound on the kernel-orth term (value AND gradient) — guards
+    # against the measured saturated-node runaway that starves the add-on
+    # group under grad clipping (LossConfig.kernel_orth_cap).  Unset =
+    # reference-exact unbounded.
+    add("--kernel_orth_cap", type=float, default=None)
     add("--num_protos_per_descendant", type=int, default=4)
     add("--num_protos_per_child", type=int, default=0)
     add("--tanh_desc", type=str, default="y")

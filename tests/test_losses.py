@@ -150,6 +150,37 @@ class TestKernelOrth:
             np.testing.assert_allclose(per_node[ni], want, rtol=1e-4, atol=1e-4)
 
 
+class TestKernelOrthCap:
+    def test_cap_bounds_value_and_gradient(self, setup):
+        """Per-node cap: capped nodes report exactly `cap` and their kernel
+        gradient is rescaled by cap/ko; uncapped nodes are reference-exact
+        (LossConfig.kernel_orth_cap — the runs/lou_190 seed-1 runaway guard)."""
+        import jax
+        tree, tc, nodes, ys, pooled, w_eff, logits, rng = setup
+        D = 8
+        # scale one node's kernels so its ko dwarfs the others
+        kernel = rng.standard_normal((D, tree.num_protos_padded)).astype(np.float32)
+        hot = tree.node_proto_slice(1)
+        kernel[:, hot] *= 50.0
+        kj = jnp.asarray(kernel)
+        wj = jnp.asarray(w_eff)
+        _, pn_ref = kernel_orth_loss(tree, tc, kj, wj)
+        cap = float(np.median(np.asarray(pn_ref)))  # caps node 1, spares most
+        _, pn_cap = kernel_orth_loss(tree, tc, kj, wj, cap=cap)
+        pn_ref_np, pn_cap_np = np.asarray(pn_ref), np.asarray(pn_cap)
+        over = pn_ref_np > cap
+        assert over[1] and not over.all()
+        np.testing.assert_allclose(pn_cap_np[over], cap, rtol=1e-5)
+        np.testing.assert_allclose(pn_cap_np[~over], pn_ref_np[~over], rtol=1e-5)
+
+        g_ref = jax.grad(lambda k: kernel_orth_loss(tree, tc, k, wj)[1][1])(kj)
+        g_cap = jax.grad(
+            lambda k: kernel_orth_loss(tree, tc, k, wj, cap=cap)[1][1])(kj)
+        np.testing.assert_allclose(np.asarray(g_cap),
+                                   np.asarray(g_ref) * (cap / pn_ref_np[1]),
+                                   rtol=1e-4, atol=1e-6)
+
+
 class TestMinContrast:
     @pytest.mark.parametrize("topk", [1, 2])
     def test_vs_naive(self, setup, topk):
