@@ -184,6 +184,23 @@ def run(argv=None) -> int:
     # abstain: no positive classifier evidence anywhere (ref pipnet/test.py:66-70)
     result["abstained"] = abstained_count(logits)
 
+    if leave_out:
+        # the calc_acc_LOU.ipynb surface reports BOTH numbers: top1/top5
+        # above are the left-out images under the LOU decode short-circuit
+        # (ref util/node.py:319-325); held_in_* is the plain decode
+        # restricted to the classes the model actually trained on —
+        # collect() runs the plain step, so the scores here are exactly
+        # that decode
+        lo = {i for i, c in enumerate(tree.class_names) if c in leave_out}
+        held = np.asarray([y not in lo for y in ys])
+        order = np.argsort(scores, axis=-1)[:, ::-1]
+        result["left_out_n"] = int((~held).sum())
+        result["held_in_n"] = int(held.sum())
+        result["held_in_top1"] = float(
+            (order[held, 0] == ys[held]).mean())
+        result["held_in_top5"] = float(
+            (order[held, :5] == ys[held, None]).any(axis=1).mean())
+
     if not args.skip_per_node:
         result["per_node"] = evaluate_per_node(trainer, loaders.test)
 
