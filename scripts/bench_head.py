@@ -52,14 +52,21 @@ def main():
     kernel = jnp.asarray(rng.standard_normal((D, tree.num_protos_padded)) * 0.05,
                          jnp.bfloat16)
 
+    # On the tunneled axon backend block_until_ready returns before the
+    # remote execution finishes (every combo measured "0.02 ms" — 85x
+    # below the MXU FLOP floor for this shape, physically impossible).
+    # Force a real device->host scalar fetch per iteration instead, and
+    # subtract the tunnel round-trip measured on a null kernel.
     def timeit(fn, *xs):
-        out = fn(*xs)
-        jax.block_until_ready(out)
+        float(fn(*xs))  # compile + warm
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            out = fn(*xs)
-        jax.block_until_ready(out)
+            float(fn(*xs))
         return (time.perf_counter() - t0) / args.iters * 1e3
+
+    null_ms = timeit(jax.jit(lambda f, k: f[0, 0, 0, 0].astype(jnp.float32)),
+                     jnp.zeros((1, 1, 1, 1), jnp.bfloat16), 0)
+    print(f"tunnel null-kernel round-trip: {null_ms:.2f} ms (subtracted below)")
 
     def fused(f, k):
         pf, pooled = fused_head_forward(f, k, tree, tau=1.0)
@@ -70,7 +77,7 @@ def main():
         p = segment_softmax(z, tree)
         return p.sum() + jnp.max(p, axis=(1, 2)).sum()
 
-    print(f"XLA composition: {timeit(jax.jit(xla_ref), feats, kernel):.2f} ms")
+    print(f"XLA composition: {timeit(jax.jit(xla_ref), feats, kernel) - null_ms:.2f} ms")
     # env knobs are read at trace time; a FRESH jit wrapper per combo forces
     # a retrace so each combo actually compiles with its own settings
     for tile in (512, 640, 1280, 1920, 3840):
@@ -85,7 +92,7 @@ def main():
                 label = (f"tile={tile} vmem={'dflt' if vmem is None else vmem // 2**20}M "
                          f"par={par}")
                 try:
-                    ms = timeit(jax.jit(fused), feats, kernel)
+                    ms = timeit(jax.jit(fused), feats, kernel) - null_ms
                     print(f"fused {label}: {ms:.2f} ms")
                 except Exception as e:
                     print(f"fused {label}: FAILED {type(e).__name__}: {str(e)[:120]}")
