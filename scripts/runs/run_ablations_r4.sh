@@ -40,6 +40,9 @@ COMMON="--dataset synthetic:190:48 --net convnext_tiny_26
 run_arm () {
   local name=$1; shift
   local dir=./runs/ablations_r4/$name
+  if [ -n "${ONLY_ARM:-}" ] && [ "$name" != "$ONLY_ARM" ]; then
+    return  # ONLY_ARM: run a single arm (per-arm scheduling/archiving)
+  fi
   if [ -f "$dir/eval_report.json" ] || [ -f "$dir/DONE" ]; then
     echo "=== arm $name already done, skipping"; return
   fi
