@@ -13,9 +13,18 @@ set -u
 cd /root/repo
 log() { echo "[tail $(date +%H:%M:%S)] $*"; }
 
+# Run under setsid so this trap can take the whole queue (incl. the
+# current training python) down with one group kill — the TPU must be
+# free for the driver's end-of-round bench.py.
+trap 'log "TERM: killing queue group"; kill 0' TERM INT
+
+# No NEW step starts after DEADLINE (unix seconds; default: far future).
+DEADLINE=${DEADLINE:-9999999999}
+
 step() {  # step <name> <timeout_s> -- cmd...
   local name=$1 tmo=$2; shift 3
   if [ -f "/tmp/r5b/$name.done" ]; then log "$name: done, skip"; return 0; fi
+  if [ "$(date +%s)" -gt "$DEADLINE" ]; then log "$name: past deadline, skip"; return 0; fi
   log "$name: $*"
   if timeout "$tmo" "$@" >> "/tmp/r5b/$name.log" 2>&1; then
     touch "/tmp/r5b/$name.done"; log "$name OK"
