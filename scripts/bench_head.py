@@ -21,6 +21,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--quick", action="store_true",
+                    help="4 representative combos instead of the full sweep")
     args = ap.parse_args()
 
     from pipnet_tpu.runtime.profiling import enable_compilation_cache
@@ -54,19 +56,30 @@ def main():
 
     # On the tunneled axon backend block_until_ready returns before the
     # remote execution finishes (every combo measured "0.02 ms" — 85x
-    # below the MXU FLOP floor for this shape, physically impossible).
-    # Force a real device->host scalar fetch per iteration instead, and
-    # subtract the tunnel round-trip measured on a null kernel.
+    # below the MXU FLOP floor for this shape, physically impossible),
+    # and a per-iteration device->host fetch is swamped by 20-60 ms of
+    # tunnel round-trip jitter.  Amortize instead: chain `iters` kernel
+    # invocations inside ONE jitted lax.scan (the carry perturbs the
+    # input so XLA cannot hoist or CSE the body) and fetch one scalar.
+    import jax.lax as lax
+
     def timeit(fn, *xs):
-        float(fn(*xs))  # compile + warm
+        def scanned(f, k):
+            def body(c, _):
+                out = fn(f * (1 + c * 1e-38).astype(f.dtype), k)
+                return out.astype(jnp.float32), None
+            return lax.scan(body, jnp.float32(0), None, length=args.iters)[0]
+        jf = jax.jit(scanned)
+        float(jf(*xs))  # compile + warm
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            float(fn(*xs))
+        float(jf(*xs))
         return (time.perf_counter() - t0) / args.iters * 1e3
 
-    null_ms = timeit(jax.jit(lambda f, k: f[0, 0, 0, 0].astype(jnp.float32)),
-                     jnp.zeros((1, 1, 1, 1), jnp.bfloat16), 0)
-    print(f"tunnel null-kernel round-trip: {null_ms:.2f} ms (subtracted below)")
+    null_ms = timeit(lambda f, k: f.sum(),
+                     jnp.zeros((8, 128), jnp.bfloat16), 0) * args.iters
+    print(f"tunnel round-trip (amortized over {args.iters} iters): "
+          f"{null_ms:.2f} ms total")
+    null_ms /= args.iters
 
     def fused(f, k):
         pf, pooled = fused_head_forward(f, k, tree, tau=1.0)
@@ -80,22 +93,26 @@ def main():
     print(f"XLA composition: {timeit(jax.jit(xla_ref), feats, kernel) - null_ms:.2f} ms")
     # env knobs are read at trace time; a FRESH jit wrapper per combo forces
     # a retrace so each combo actually compiles with its own settings
-    for tile in (512, 640, 1280, 1920, 3840):
-        for vmem in (None, 100 * 2**20):
-            for par in ("0", "1"):
-                os.environ["PIPNET_HEAD_TILE_TARGET"] = str(tile)
-                os.environ["PIPNET_HEAD_PARALLEL_GRID"] = par
-                if vmem is None:
-                    os.environ.pop("PIPNET_HEAD_VMEM_LIMIT", None)
-                else:
-                    os.environ["PIPNET_HEAD_VMEM_LIMIT"] = str(vmem)
-                label = (f"tile={tile} vmem={'dflt' if vmem is None else vmem // 2**20}M "
-                         f"par={par}")
-                try:
-                    ms = timeit(jax.jit(fused), feats, kernel) - null_ms
-                    print(f"fused {label}: {ms:.2f} ms")
-                except Exception as e:
-                    print(f"fused {label}: FAILED {type(e).__name__}: {str(e)[:120]}")
+    if args.quick:
+        combos = [(512, None, "0"), (1280, None, "0"),
+                  (3840, None, "0"), (1280, 100 * 2**20, "1")]
+    else:
+        combos = [(t, v, p) for t in (512, 640, 1280, 1920, 3840)
+                  for v in (None, 100 * 2**20) for p in ("0", "1")]
+    for tile, vmem, par in combos:
+        os.environ["PIPNET_HEAD_TILE_TARGET"] = str(tile)
+        os.environ["PIPNET_HEAD_PARALLEL_GRID"] = par
+        if vmem is None:
+            os.environ.pop("PIPNET_HEAD_VMEM_LIMIT", None)
+        else:
+            os.environ["PIPNET_HEAD_VMEM_LIMIT"] = str(vmem)
+        label = (f"tile={tile} vmem={'dflt' if vmem is None else vmem // 2**20}M "
+                 f"par={par}")
+        try:
+            ms = timeit(jax.jit(fused), feats, kernel) - null_ms
+            print(f"fused {label}: {ms:.2f} ms")
+        except Exception as e:
+            print(f"fused {label}: FAILED {type(e).__name__}: {str(e)[:120]}")
 
 
 if __name__ == "__main__":
