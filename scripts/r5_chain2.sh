@@ -70,7 +70,7 @@ run_wd() {
 
 # ---- 1: LOU seed-2 (fixture pinned to the seed-1 data, RNG re-rolled,
 #         ko runaway bounded) ----
-run_wd lou_s2_train 600 4 runs/lou_190_s2 -- \
+run_wd lou_s2_train 1500 4 runs/lou_190_s2 -- \
   bash scripts/runs/run_lou_190.sh \
     --log_dir ./runs/lou_190_s2 --dataset synthetic:190:48:s1 --seed 2 \
     --kernel_orth_cap 100 --resume
@@ -82,11 +82,11 @@ run_wd lou_s2_eval_lou 2400 2 runs/lou_190_s2 -- \
 run_wd lou_s2_archive 600 2 runs/lou_190_s2 -- bash scripts/archive_run.sh runs/lou_190_s2
 
 # ---- 2: BYOL driver co-run ----
-run_wd byol 600 3 runs/byol_demo -- bash scripts/runs/run_byol_demo.sh --resume
+run_wd byol 1200 3 runs/byol_demo -- bash scripts/runs/run_byol_demo.sh --resume
 run_wd byol_archive 600 2 runs/byol_demo -- bash scripts/archive_run.sh runs/byol_demo
 
 # ---- 3: full-phase base rebuild (reset destroyed the checkpoints) ----
-run_wd full_phase 600 4 runs/full_phase_190 -- \
+run_wd full_phase 1500 4 runs/full_phase_190 -- \
   bash scripts/runs/run_full_phase_190.sh
 run_wd full_phase_archive 600 2 runs/full_phase_190 -- \
   bash scripts/archive_run.sh runs/full_phase_190
@@ -95,7 +95,7 @@ run_wd full_phase_archive 600 2 runs/full_phase_190 -- \
 if [ ! -d runs/sparse_190 ] && [ -d runs/full_phase_190 ]; then
   cp -r runs/full_phase_190 runs/sparse_190
 fi
-run_wd sparse_ext 600 4 runs/sparse_190 -- \
+run_wd sparse_ext 1200 4 runs/sparse_190 -- \
   bash scripts/runs/run_sparse_190.sh \
     --epochs 90 --epochs_finetune_classifier 90 --epochs_finetune_mask_prune 90
 run_wd sparse_archive 600 2 runs/sparse_190 -- bash scripts/archive_run.sh runs/sparse_190
@@ -106,7 +106,7 @@ run_wd sparse_sweep 2400 2 runs/sparse_190 -- \
   bash scripts/runs/eval_full_phase_190.sh runs/sparse_190
 
 # ---- 6: masked-decode A/B (geo-mean score vs boost 1.3) ----
-run_wd mask_ab 600 4 runs/mask_ab -- \
+run_wd mask_ab 1200 4 runs/mask_ab -- \
   env BASE=./runs/sparse_190 EPOCHS=105 bash scripts/runs/run_mask_ab.sh
 for arm in geo boost13; do
   run_wd mask_ab_eval_$arm 2400 2 runs/mask_ab/$arm -- bash -c "
@@ -118,22 +118,28 @@ done
 
 # ---- 7: stabilizer ablation arms (shared net_pretrained from the
 #         rebuilt base; each arm archives as it lands) ----
-run_wd ablations 600 6 runs/ablations_r4 -- bash -c '
+run_wd ablations 1200 6 runs/ablations_r4 -- bash -c '
   bash scripts/runs/run_ablations_r4.sh ./runs/full_phase_190;
   for d in runs/ablations_r4/*/; do
-    [ -f "$d/DONE" ] && bash scripts/archive_run.sh "$d";
+    arm=$(basename "$d")
+    dest="artifacts/ablations_r4/$arm"; mkdir -p "$dest"
+    for f in metrics_train.jsonl metrics_pretrain.jsonl \
+             epoch_wise_metrics_train.csv log_epoch_overview.csv \
+             metadata/config.json; do
+      [ -f "$d/$f" ] && { mkdir -p "$dest/$(dirname "$f")"; cp "$d/$f" "$dest/$f"; }
+    done
   done'
 run_wd ablations_table 600 2 runs/ablations_r4 -- bash -c '
   python scripts/summarize_ablations.py runs/ablations_r4 \
     | tee artifacts/ablations_r4_table.md'
 
 # ---- 8: real-schedule guard + multi-seed (time permitting) ----
-run_wd real_guard 600 4 runs/real_schedule_guard -- \
+run_wd real_guard 1200 4 runs/real_schedule_guard -- \
   bash scripts/runs/run_real_schedule_guard.sh
 run_wd real_guard_eval 2400 2 runs/real_schedule_guard -- bash -c "
   python -m pipnet_tpu.evaluate --run_dir runs/real_schedule_guard --skip_per_node &&
   bash scripts/archive_run.sh runs/real_schedule_guard"
-run_wd multi_seed 600 6 runs -- bash scripts/runs/run_multi_seed_sparse.sh
+run_wd multi_seed 1200 6 runs -- bash scripts/runs/run_multi_seed_sparse.sh
 
 echo "[r5b] chain complete: $(ls /tmp/r5b/*.done 2>/dev/null | wc -l) done, \
 $(ls /tmp/r5b/*.fail 2>/dev/null | wc -l) failed"
